@@ -1,0 +1,432 @@
+"""Driver-facing query registry.
+
+``QUERIES[name] -> (spark, sf_dir) -> DataFrame`` — the Spark
+implementation of each operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis).
+
+``ORACLE_SQL[name]`` — the equivalent ANSI SQL DuckDB runs on the same
+parquet tables (views: region nation customer supplier part orders
+lineitem events documents embeddings). Every computed column is aliased
+identically on both sides; aggregates over doubles are routed through
+DECIMAL so both engines produce bit-identical values regardless of
+summation order. Queries without an oracle entry are non-SQL-expressible
+(the extraction pipeline itself) and are golden-tested against the
+plain-Python oracle in pytest instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import pipeline
+from .sources.ingest import interleaved_from_text
+
+# number of synthetic interleaved docs per sf for the extraction queries
+# (scale-proportional: sf0.01 → 300 docs)
+EXTRACT_DOCS_PER_SF = 30_000
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def _n_extract_docs(sf_dir: str) -> int:
+    return max(50, int(EXTRACT_DOCS_PER_SF * _sf_of(sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline (north-star; golden-tested, rows-only for the driver)
+# ---------------------------------------------------------------------------
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: synthetic interleaved docs → ordered spans, exploded to
+    one row per span (deterministic; pytest golden-gates the values)."""
+    docs = pipeline.generate_input(spark, _n_extract_docs(sf_dir))
+    out = pipeline.extract(docs)
+    return out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.md5(F.coalesce(F.col("s.text"), F.col("s.media_ref"), F.lit(""))).alias("content_md5"),
+    )
+
+
+def q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level extraction summary (status counters + markdown md5)."""
+    docs = pipeline.generate_input(spark, _n_extract_docs(sf_dir))
+    out = pipeline.extract(docs)
+    return out.select(
+        "doc_id", "n_pages", "n_failed", "n_fallback", "n_spans", "status",
+        F.md5("markdown").alias("markdown_md5"),
+        F.md5("markdown_nohf").alias("markdown_nohf_md5"),
+    )
+
+
+def q_extract_from_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest the flat documents corpus through the SAME extraction
+    pipeline (JVM-only pagination source → parse → assemble)."""
+    flat = _read(spark, sf_dir, "documents")
+    docs = interleaved_from_text(flat)
+    out = pipeline.extract(docs, shuffle_pages=False)
+    return out.select("doc_id", "n_pages", "n_spans", "status",
+                      F.md5("markdown").alias("markdown_md5"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis over the documents corpus
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + char stats (whitespace tokenizer)."""
+    d = _read(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized (trimmed) text
+    (T11 analog, app/utils/hash.py:4-15)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.trim("text")).alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(trim(text)) AS fingerprint FROM documents
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit ratio + declared-lang remap
+    (P9-style categorical mapping with passthrough)."""
+    d = _read(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_hits = F.size(F.filter(words, lambda w: w.isin("the", "a"))).cast("long")
+    lang_name = (
+        F.when(F.col("lang") == "en", "english")
+        .when(F.col("lang") == "es", "spanish")
+        .when(F.col("lang") == "de", "german")
+        .when(F.col("lang") == "zh", "chinese")
+        .otherwise(F.col("lang"))
+    )
+    return d.select(
+        "doc_id",
+        lang_name.alias("lang_name"),
+        stop_hits.alias("stopword_hits"),
+        (stop_hits >= 1).alias("looks_english"),
+    )
+
+
+ORACLE_LANGID = """
+SELECT doc_id,
+       CASE lang WHEN 'en' THEN 'english' WHEN 'es' THEN 'spanish'
+                 WHEN 'de' THEN 'german' WHEN 'zh' THEN 'chinese'
+                 ELSE lang END AS lang_name,
+       len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS stopword_hits,
+       len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) >= 1 AS looks_english
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + mean token length (decimal-exact)."""
+    d = _read(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    mean_tok_len = F.round(
+        (F.length("text") - (n_tokens - 1)).cast("decimal(18,6)") / n_tokens, 4
+    ).cast("double")
+    band = (
+        F.when(F.col("n_chars") < 100, "short")
+        .when(F.col("n_chars") < 300, "medium")
+        .otherwise("long")
+    )
+    return d.select(
+        "doc_id",
+        band.alias("length_band"),
+        mean_tok_len.alias("mean_token_len"),
+        (n_tokens >= 20).alias("quality_pass"),
+    )
+
+
+ORACLE_QUALITY = """
+SELECT doc_id,
+       CASE WHEN n_chars < 100 THEN 'short'
+            WHEN n_chars < 300 THEN 'medium'
+            ELSE 'long' END AS length_band,
+       CAST(round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DECIMAL(18,6))
+                  / len(string_split(text,' ')), 4) AS DOUBLE) AS mean_token_len,
+       len(string_split(text,' ')) >= 20 AS quality_pass
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: first doc_id per identical text hash survives
+    (A8 keep-first semantics, distributed via window rank)."""
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.md5("text").alias("text_md5"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, md5(text) AS text_md5
+FROM (SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
+"""
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 permutations via salted md5 over word
+    shingles) — the LSH building block; md5 keeps both engines identical."""
+    d = _read(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split("text", " "))
+
+    def _mh(salt: str):
+        # NB: the lambda must take exactly one arg — a two-arg callable
+        # would receive the array index as its second argument.
+        return F.array_min(
+            F.transform(words, lambda w: F.md5(F.concat(F.lit(salt), w)))
+        )
+
+    return d.select(
+        "doc_id",
+        *[_mh(f"s{i}:").alias(f"mh{i}") for i in range(4)],
+    )
+
+
+ORACLE_MINHASH = """
+SELECT doc_id,
+       list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s0:' || w))) AS mh0,
+       list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s1:' || w))) AS mh1,
+       list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s2:' || w))) AS mh2,
+       list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s3:' || w))) AS mh3
+FROM documents
+"""
+
+
+def q_minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: bucket docs by (band, banded signature); buckets with
+    >1 doc are near-dup candidates. Shuffle key = the band hash, so
+    candidate generation is one aggregation, no O(n²) compare."""
+    sig = q_minhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.md5(F.concat("mh0", "mh1")).alias("bucket")),
+                F.struct(F.lit(1).alias("band"), F.md5(F.concat("mh2", "mh3")).alias("bucket")),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_MINHASH_BANDS = """
+WITH sig AS (
+  SELECT doc_id,
+         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s0:' || w))) AS mh0,
+         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s1:' || w))) AS mh1,
+         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s2:' || w))) AS mh2,
+         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s3:' || w))) AS mh3
+  FROM documents
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+)
+SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM bands GROUP BY band, bucket HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operators (joins / aggregations / windows / top-k)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (A4-analog grouped sums; DECIMAL
+    routing makes the doubles engine-exact)."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))),
+                2,
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join with broadcast dims (J2-style lookup join): revenue per
+    nation. nation/region are broadcast — no shuffle for the dim side."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_REVENUE_NATION = """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break (O2-style ordering)."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — sessionization of the events stream: a session breaks after a
+    30-min silence per user (lag + cumulative-sum of break flags)."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = e.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(sum(is_new) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_spans": q_extract_spans,
+    "extract_docs": q_extract_docs,
+    "extract_from_corpus": q_extract_from_corpus,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "langid": q_langid,
+    "quality_score": q_quality_score,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signature": q_minhash_signature,
+    "minhash_band_buckets": q_minhash_band_buckets,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders": q_top_orders,
+    "sessionize": q_sessionize,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "token_stats": ORACLE_TOKEN_STATS,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "langid": ORACLE_LANGID,
+    "quality_score": ORACLE_QUALITY,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "minhash_signature": ORACLE_MINHASH,
+    "minhash_band_buckets": ORACLE_MINHASH_BANDS,
+    "pricing_summary": ORACLE_PRICING,
+    "revenue_by_nation": ORACLE_REVENUE_NATION,
+    "top_orders": ORACLE_TOP_ORDERS,
+    "sessionize": ORACLE_SESSIONIZE,
+}
