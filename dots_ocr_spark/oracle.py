@@ -19,9 +19,8 @@ from __future__ import annotations
 
 import json
 
+from .spec.assemble import TASK_FAIL_THRESHOLD, assemble_page_results  # noqa: F401
 from .spec.page import process_page
-
-TASK_FAIL_THRESHOLD = 0.1
 
 
 def extract_document(doc: dict, mode: str = "pipeline") -> dict:
@@ -48,42 +47,4 @@ def extract_document(doc: dict, mode: str = "pipeline") -> dict:
             )
         )
 
-    n_pages = len(page_results)
-    n_failed = sum(1 for r in page_results if r["status"] == "failed")
-    n_fallback = sum(1 for r in page_results if r["status"] == "fallback")
-
-    spans = []
-    offset = 0
-    md_parts = []
-    md_nohf_parts = []
-    for r in page_results:
-        if r["status"] == "failed":
-            continue
-        for s in r["spans"]:
-            spans.append(
-                {
-                    "kind": s["kind"],
-                    "text": s["text"],
-                    "media_ref": s["media_ref"],
-                    "offset": offset,
-                }
-            )
-            offset += 1
-        md_parts.append(r["md"])
-        md_nohf_parts.append(r["md_nohf"])
-
-    status = "failed" if n_pages and (n_failed / n_pages) > TASK_FAIL_THRESHOLD else "ok"
-    markdown = "".join(p + "\n\n" for p in md_parts)
-    markdown_nohf = "".join(p + "\n\n" for p in md_nohf_parts)
-
-    return {
-        "doc_id": doc_id,
-        "spans": spans,
-        "markdown": markdown,
-        "markdown_nohf": markdown_nohf,
-        "n_pages": n_pages,
-        "n_failed": n_failed,
-        "n_fallback": n_fallback,
-        "n_spans": len(spans),
-        "status": status,
-    }
+    return assemble_page_results(doc_id, page_results)

@@ -1,28 +1,30 @@
 """The Spark extraction job: interleaved document table in, ordered span
 table out.
 
-Physical plan (designed for the 10^12-doc scale, tested on local[N]):
+Three physical strategies, all span-sequence-equal to the oracle
+(tests/test_golden_e2e.py parametrizes the mode):
 
-  1. ``explode(pages)`` to page grain — a document with 60 table-heavy
-     pages becomes 60 independent work units, so per-document skew cannot
-     stall an executor (X7; the reference's analog is its bounded page
-     queue, configs.py:8-61).
-  2. ``repartition(hash(doc_id, page_no))`` before the heavy stage —
-     pages of hard documents scatter across the cluster instead of
-     clustering in the input partition that carried the document. With AQE
-     enabled, post-shuffle coalescing keeps small runs cheap.
-  3. ``mapInPandas(parse)`` — the single Python boundary. Arrow batches
-     in/out (the built-in replacement for the reference's hand-rolled
-     micro-batch collector, task_executor_pool.py:84-142); all rule logic
-     is the shared spec package.
-  4. document assembly entirely in JVM expressions (no second Python
-     stage): ``groupBy(doc_id)`` + ``array_sort(collect_list(...))`` +
-     higher-order ``transform``/``filter``/``aggregate`` — one shuffle,
-     whole-stage-codegen'd.
+  * ``extract_fused`` (default, mode='fused') — document grain, ZERO
+    shuffles. The input table is doc-grain with the full ``pages`` array
+    nested per row, so parse (the shared spec rules) + reading order +
+    cleaning + assembly all complete inside the scan task:
+    scan → mapInPandas → sink. Parallelism/balance come from input split
+    sizing (``spark.sql.files.maxPartitionBytes``): documents are ~KBs,
+    so every split holds thousands of docs and per-doc skew averages
+    out. Measured 0.875 scaling efficiency N→4N (BENCH/BASELINE.md).
+  * ``extract_paged`` (mode='paged') — page grain, ONE shuffle (hash by
+    doc_id + sortWithinPartitions); the UDF reassembles documents with a
+    group-carry across Arrow batches. For inputs that arrive at page
+    grain.
+  * ``extract_scatter`` (mode='scatter') — page-scatter repartition by
+    ``hash(doc_id, page_no)`` + JVM reassembly
+    (``array_sort(collect_list(...))`` + higher-order functions). TWO
+    shuffles, but page-level parallelism: for corpora whose largest
+    documents are big enough to straggle a whole task (X7 skew note).
 
-Spans' final ``offset`` is assigned with an index-aware ``transform`` over
-the flattened per-page span arrays, so reading-order positions are global
-per document without a window function or a second shuffle.
+The reference's analog of the Arrow batching here is its hand-rolled
+micro-batch collector (task_executor_pool.py:84-142); its analog of the
+skew handling is the bounded page queue (configs.py:8-61).
 """
 
 from __future__ import annotations
@@ -93,7 +95,14 @@ def parse_pages(docs: DataFrame, shuffle_pages: bool = True) -> DataFrame:
         "doc_id", F.explode("pages").alias("page")
     ).select("doc_id", "page.*")
     if shuffle_pages:
-        pages = pages.repartition(F.xxhash64("doc_id", "page_no"))
+        # Explicit partition count: an expression-only repartition is an
+        # AQE-coalescible exchange, and page batches are small enough
+        # (~8 MB) that AQE's 64 MB advisory size would collapse the Python
+        # stage to a handful of tasks — starving the executors where the
+        # work actually is. The count pins parallelism; pages stay
+        # scattered by hash so table/formula-heavy docs can't clump (X7).
+        n_part = pages.sparkSession.sparkContext.defaultParallelism * 4
+        pages = pages.repartition(n_part, F.xxhash64("doc_id", "page_no"))
     return pages.mapInPandas(_parse_pages_batches, schema=schemas.PARSED_PAGE)
 
 
@@ -155,9 +164,145 @@ def assemble_documents(parsed: DataFrame) -> DataFrame:
     )
 
 
-def extract(docs: DataFrame, shuffle_pages: bool = True) -> DataFrame:
-    """Full pipeline: input table → (doc_id, ordered spans, markdown, …)."""
+# --------------------------------------------------------------------------
+# fused parse+assemble, document grain (default path — ZERO shuffles)
+# --------------------------------------------------------------------------
+
+_OUT_COLS = ("doc_id", "spans", "markdown", "markdown_nohf",
+             "n_pages", "n_failed", "n_fallback", "n_spans", "status")
+
+
+def _out_row(d: dict) -> tuple:
+    return (
+        d["doc_id"],
+        [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in d["spans"]],
+        d["markdown"], d["markdown_nohf"],
+        d["n_pages"], d["n_failed"], d["n_fallback"], d["n_spans"], d["status"],
+    )
+
+
+def _extract_doc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker, document grain: each input row carries the whole
+    document (nested ``pages`` array), so parse + assembly complete inside
+    the task — no shuffle anywhere in the job."""
+    from .spec.assemble import assemble_page_results
+
+    for pdf in batches:
+        out: list[tuple] = []
+        for doc_id, pages in zip(pdf["doc_id"].tolist(), pdf["pages"].tolist()):
+            page_results = []
+            for p in sorted(pages if pages is not None else [],
+                            key=lambda p: p["page_no"]):
+                toc_json = p["toc_json"]
+                toc = None if toc_json is None else json.loads(toc_json)
+                sf = p["scale_factor"]
+                page_results.append(process_page(
+                    p["payload"], int(p["width"]), int(p["height"]),
+                    doc_id=doc_id, page_no=int(p["page_no"]),
+                    scale_factor=float(sf) if sf is not None else 1.0, toc=toc,
+                ))
+            out.append(_out_row(assemble_page_results(doc_id, page_results)))
+        yield pd.DataFrame(out, columns=_OUT_COLS)
+
+
+def extract_fused(docs: DataFrame) -> DataFrame:
+    """Fused parse+assemble at document grain: ZERO shuffles.
+
+    The input table is document-grain with the full ``pages`` array nested
+    in the row, so every document is parsed and assembled inside its scan
+    task — the job is scan → mapInPandas → sink, embarrassingly parallel.
+    Parallelism and balance come from input split sizing
+    (``spark.sql.files.maxPartitionBytes``; docs are ~KBs, so every split
+    holds thousands of documents and skew averages out). Per-task skew is
+    bounded by the largest single document; for corpora with pathological
+    page counts per doc, use ``extract_paged``/``extract_scatter`` which
+    redistribute at page grain.
+    """
+    return docs.select("doc_id", "pages").mapInPandas(
+        _extract_doc_batches, schema=schemas.OUTPUT)
+
+
+# --------------------------------------------------------------------------
+# fused parse+assemble, page grain (one shuffle — for page-grain inputs)
+# --------------------------------------------------------------------------
+
+def _parse_assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the page-grain fused path.
+
+    Rows arrive hash-partitioned by ``doc_id`` and sorted by
+    ``(doc_id, page_no)`` within the partition, so all pages of a document
+    are contiguous. Arrow batch boundaries do NOT align with documents, so
+    the open group is carried across batches and the final group flushed
+    at iterator exhaustion.
+    """
+    from .spec.assemble import assemble_page_results
+
+    cols, _row = _OUT_COLS, _out_row
+
+    cur_id: str | None = None
+    cur_results: list[dict] = []
+    for pdf in batches:
+        out: list[tuple] = []
+        for doc_id, page_no, w, h, sf, payload, toc_json in zip(
+                pdf["doc_id"].tolist(), pdf["page_no"].tolist(),
+                pdf["width"].tolist(), pdf["height"].tolist(),
+                pdf["scale_factor"].tolist(), pdf["payload"].tolist(),
+                pdf["toc_json"].tolist()):
+            if doc_id != cur_id:
+                if cur_id is not None:
+                    out.append(_row(assemble_page_results(cur_id, cur_results)))
+                cur_id, cur_results = doc_id, []
+            if payload is None:  # explode_outer row: document with no pages
+                continue
+            toc = None if toc_json is None else json.loads(toc_json)
+            cur_results.append(process_page(
+                payload, int(w), int(h), doc_id=doc_id, page_no=int(page_no),
+                scale_factor=float(sf) if sf is not None else 1.0, toc=toc,
+            ))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+    if cur_id is not None:
+        yield pd.DataFrame([_row(assemble_page_results(cur_id, cur_results))],
+                           columns=cols)
+
+
+def extract_paged(docs: DataFrame) -> DataFrame:
+    """Fused parse+assemble over PAGE-grain distribution: exactly ONE
+    shuffle (hash by ``doc_id``) and ONE Python stage.
+
+    Use when the input arrives at page grain (e.g. a page-stream ingest)
+    or when nested per-doc rows would be too large: pages are exploded,
+    co-located by ``doc_id`` via ``repartition`` +
+    ``sortWithinPartitions(doc_id, page_no)``, and the UDF reassembles
+    documents with a group-carry across Arrow batches. For doc-grain
+    inputs prefer ``extract_fused`` (zero shuffles)."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism * 4
+    pages = docs.select(
+        "doc_id", F.explode_outer("pages").alias("page")
+    ).select("doc_id", "page.*")
+    pages = pages.repartition(n_part, "doc_id").sortWithinPartitions("doc_id", "page_no")
+    return pages.mapInPandas(_parse_assemble_batches, schema=schemas.OUTPUT)
+
+
+def extract_scatter(docs: DataFrame, shuffle_pages: bool = True) -> DataFrame:
+    """Two-stage pipeline: page-scatter parse + JVM document reassembly.
+    Use when single documents are so large that one document per task
+    would straggle (page-grain parallelism is preserved here)."""
     return assemble_documents(parse_pages(docs, shuffle_pages=shuffle_pages))
+
+
+def extract(docs: DataFrame, shuffle_pages: bool = True,
+            mode: str = "fused") -> DataFrame:
+    """Full pipeline: input table → (doc_id, ordered spans, markdown, …).
+
+    mode: 'fused' (doc-grain, zero shuffles — default), 'paged' (page
+    grain, one shuffle), 'scatter' (page scatter + JVM reassembly, two
+    shuffles — giant-doc corpora)."""
+    if mode == "fused":
+        return extract_fused(docs)
+    if mode == "paged":
+        return extract_paged(docs)
+    return extract_scatter(docs, shuffle_pages=shuffle_pages)
 
 
 # --------------------------------------------------------------------------

@@ -15,10 +15,10 @@ def golden():
     return {d["doc_id"]: oracle.extract_document(d) for d in docs}
 
 
-@pytest.fixture(scope="module")
-def spark_result(spark):
+@pytest.fixture(scope="module", params=["fused", "paged", "scatter"])
+def spark_result(spark, request):
     docs_df = pipeline.generate_input(spark, N_DOCS, partitions=8)
-    rows = pipeline.extract(docs_df).collect()
+    rows = pipeline.extract(docs_df, mode=request.param).collect()
     return {r["doc_id"]: r for r in rows}
 
 
