@@ -1,0 +1,156 @@
+"""Resumable extraction runs: per-partition lineage + metrics + idempotent
+restart (north-rule X6; reference analog: MD5-of-input + output-existence
+skip at /root/reference/app/dotsocr_service.py:253-348 and the S3
+page-index resume scan at /root/reference/app/utils/storage.py:199-228).
+
+Design (Iceberg semantics approximated on plain parquet — the container
+ships no Iceberg catalog; on a real deployment swap the two writers for
+``MERGE INTO`` on an Iceberg table and this module's logic is unchanged):
+
+  * Work unit = **bucket**: ``pmod(xxhash64(doc_id), n_buckets)``. Stable
+    across runs, independent of input file layout.
+  * Output table: parquet partitioned by ``bucket``, written with dynamic
+    partition overwrite — re-processing a bucket atomically replaces its
+    directory, so a crash mid-bucket can never duplicate rows.
+  * Lineage table: one row per completed bucket ``(bucket, run_id,
+    n_docs, n_spans, n_failed_pages, completed_at_unix)``, appended AFTER
+    the bucket's output commit. Crash between the two writes ⇒ the bucket
+    is simply re-done (idempotent), never skipped-but-missing.
+  * Resume = left-anti join of the bucket domain against the lineage
+    table: completed buckets are pruned BEFORE any Python work runs — at
+    the scan, via partition-pruning-friendly ``bucket IN (...)`` when the
+    remaining set is small, else the anti-join.
+  * Metrics: per-bucket page/doc counters live in the lineage rows;
+    ``metrics_summary`` aggregates them (A4/A5 analog).
+
+Buckets are processed in groups of ``buckets_per_commit`` to bound commit
+frequency (one Spark job + one lineage append per group) — the knob
+trades restart granularity against job-scheduling overhead, exactly like
+Iceberg snapshot batching.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import pipeline
+
+LINEAGE_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("run_id", T.StringType()),
+    T.StructField("n_docs", T.LongType()),
+    T.StructField("n_spans", T.LongType()),
+    T.StructField("n_failed_pages", T.LongType()),
+    T.StructField("n_fallback_pages", T.LongType()),
+    T.StructField("completed_at_unix", T.DoubleType()),
+])
+
+
+def _lineage_path(base: str) -> str:
+    return os.path.join(base, "_lineage")
+
+
+def _output_path(base: str) -> str:
+    return os.path.join(base, "output")
+
+
+def completed_buckets(spark: SparkSession, base: str) -> set[int]:
+    """Buckets already committed by any previous run (the resume scan)."""
+    path = _lineage_path(base)
+    try:
+        rows = spark.read.schema(LINEAGE_SCHEMA).parquet(path) \
+            .select("bucket").distinct().collect()
+    except Exception:
+        return set()
+    return {r["bucket"] for r in rows}
+
+
+def run_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    base: str,
+    n_buckets: int = 64,
+    buckets_per_commit: int = 16,
+    mode: str = "fused",
+    run_id: str | None = None,
+) -> dict:
+    """Run (or resume) a checkpointed extraction over ``docs``.
+
+    Returns ``{"run_id", "processed_buckets", "skipped_buckets"}``.
+    Safe to call again after any failure: completed buckets are never
+    recomputed; a half-written bucket is overwritten atomically.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    done = completed_buckets(spark, base)
+    todo = [b for b in range(n_buckets) if b not in done]
+
+    bucketed = docs.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+    for lo in range(0, len(todo), buckets_per_commit):
+        group = todo[lo:lo + buckets_per_commit]
+        chunk = bucketed.where(F.col("bucket").isin(group))
+        out = pipeline.extract(chunk.drop("bucket"), mode=mode).withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        # 1) output commit: dynamic overwrite replaces exactly these buckets
+        out.write.mode("overwrite").partitionBy("bucket") \
+            .parquet(_output_path(base))
+        # 2) lineage commit (after the data is durable)
+        lineage = (
+            spark.read.parquet(_output_path(base))
+            .where(F.col("bucket").isin(group))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_spans").cast("long").alias("n_spans"),
+                F.sum("n_failed").cast("long").alias("n_failed_pages"),
+                F.sum("n_fallback").cast("long").alias("n_fallback_pages"),
+            )
+            .select(
+                "bucket", F.lit(run_id).alias("run_id"), "n_docs", "n_spans",
+                "n_failed_pages", "n_fallback_pages",
+                F.lit(time.time()).alias("completed_at_unix"),
+            )
+        )
+        lineage.write.mode("append").parquet(_lineage_path(base))
+
+    return {
+        "run_id": run_id,
+        "processed_buckets": len(todo),
+        "skipped_buckets": len(done),
+    }
+
+
+def read_output(spark: SparkSession, base: str) -> DataFrame:
+    return spark.read.parquet(_output_path(base))
+
+
+def read_lineage(spark: SparkSession, base: str) -> DataFrame:
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(_lineage_path(base))
+
+
+def metrics_summary(spark: SparkSession, base: str) -> DataFrame:
+    """Run-level metrics rollup from the lineage table (A4/A5 analog:
+    per-run counters the reference keeps in task stats,
+    /root/reference/app/utils/executor/stats.py:22-41)."""
+    return (
+        read_lineage(spark, base)
+        .groupBy("run_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_failed_pages").alias("n_failed_pages"),
+            F.sum("n_fallback_pages").alias("n_fallback_pages"),
+        )
+    )

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the checkpointed extraction job.
+
+Ship the package alongside:
+
+    python tools/build_pyfiles.py                       # -> dist/dots_ocr_spark.zip
+    spark-submit --py-files dist/dots_ocr_spark.zip \
+        jobs/run_extract.py --input /path/to/interleaved_table \
+        --output /path/to/run_base --buckets 4096 --buckets-per-commit 256
+
+On a cluster no ``--master`` is needed (comes from the submit env); for a
+local smoke test pass ``--synthetic N`` instead of ``--input`` to generate
+the deterministic fixture table in place of a real scan.
+
+The job is resumable: re-submitting with the same ``--output`` skips every
+bucket already recorded in the lineage table (see
+``dots_ocr_spark/checkpoint.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet dir of the interleaved doc table")
+    src.add_argument("--synthetic", type=int,
+                     help="generate N synthetic docs instead of reading --input")
+    ap.add_argument("--output", required=True, help="run base dir (output + lineage)")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--buckets-per-commit", type=int, default=16)
+    ap.add_argument("--mode", choices=["fused", "paged", "scatter"], default="fused")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("dots-ocr-spark-extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from dots_ocr_spark import checkpoint, pipeline
+
+    if args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = pipeline.generate_input(spark, args.synthetic)
+
+    t0 = time.perf_counter()
+    res = checkpoint.run_extraction(
+        spark, docs, args.output,
+        n_buckets=args.buckets,
+        buckets_per_commit=args.buckets_per_commit,
+        mode=args.mode,
+        run_id=args.run_id,
+    )
+    res["wall_sec"] = round(time.perf_counter() - t0, 2)
+    res["metrics"] = [r.asDict() for r in
+                      checkpoint.metrics_summary(spark, args.output).collect()]
+    print(json.dumps(res, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,101 @@
+"""Resumability gate (north-rule X6): a failed run resumes without
+recomputing completed partitions, and the resumed output equals a
+single-shot run's output exactly."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dots_ocr_spark import checkpoint, pipeline
+
+N_DOCS = 300
+N_BUCKETS = 16
+
+
+@pytest.fixture()
+def docs(spark):
+    return pipeline.generate_input(spark, N_DOCS, partitions=8)
+
+
+def _spans_fingerprint(df):
+    """Deterministic whole-table fingerprint: doc_id -> (n_spans, md5)."""
+    rows = df.select(
+        "doc_id", "n_spans", F.md5("markdown").alias("m")
+    ).collect()
+    return {r["doc_id"]: (r["n_spans"], r["m"]) for r in rows}
+
+
+def test_resume_skips_completed_buckets(spark, docs, tmp_path, monkeypatch):
+    base = str(tmp_path / "ckpt")
+
+    # ---- run 1: crash after the first 2 commit groups -------------------
+    real_extract = pipeline.extract
+    calls = {"n": 0}
+
+    def failing_extract(df, **kw):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("injected failure")
+        return real_extract(df, **kw)
+
+    monkeypatch.setattr(checkpoint.pipeline, "extract", failing_extract)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpoint.run_extraction(
+            spark, docs, base, n_buckets=N_BUCKETS, buckets_per_commit=4,
+            run_id="run1",
+        )
+    monkeypatch.setattr(checkpoint.pipeline, "extract", real_extract)
+
+    done_after_crash = checkpoint.completed_buckets(spark, base)
+    assert 0 < len(done_after_crash) < N_BUCKETS  # partial progress durable
+
+    # ---- run 2: resume ---------------------------------------------------
+    res = checkpoint.run_extraction(
+        spark, docs, base, n_buckets=N_BUCKETS, buckets_per_commit=4,
+        run_id="run2",
+    )
+    assert res["skipped_buckets"] == len(done_after_crash)
+    assert res["processed_buckets"] == N_BUCKETS - len(done_after_crash)
+
+    # completed buckets kept run1's lineage rows — they were NOT recomputed
+    lineage = checkpoint.read_lineage(spark, base)
+    by_run = {
+        r["run_id"]: r["cnt"]
+        for r in lineage.groupBy("run_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_run["run1"] == len(done_after_crash)
+    assert by_run["run1"] + by_run["run2"] == N_BUCKETS
+    # exactly one lineage row per bucket
+    assert lineage.select("bucket").distinct().count() == N_BUCKETS
+    assert lineage.count() == N_BUCKETS
+
+    # ---- resumed output == single-shot output ---------------------------
+    resumed = _spans_fingerprint(checkpoint.read_output(spark, base))
+    single = _spans_fingerprint(pipeline.extract(docs))
+    assert resumed == single
+
+
+def test_rerun_is_noop(spark, docs, tmp_path):
+    base = str(tmp_path / "ckpt2")
+    r1 = checkpoint.run_extraction(
+        spark, docs, base, n_buckets=8, buckets_per_commit=8, run_id="a")
+    assert r1["processed_buckets"] == 8
+    r2 = checkpoint.run_extraction(
+        spark, docs, base, n_buckets=8, buckets_per_commit=8, run_id="b")
+    assert r2["processed_buckets"] == 0
+    assert r2["skipped_buckets"] == 8
+    # lineage untouched by the no-op run
+    lineage = checkpoint.read_lineage(spark, base)
+    assert lineage.where(F.col("run_id") == "b").count() == 0
+    assert checkpoint.read_output(spark, base).count() == N_DOCS
+
+
+def test_metrics_summary(spark, docs, tmp_path):
+    base = str(tmp_path / "ckpt3")
+    checkpoint.run_extraction(
+        spark, docs, base, n_buckets=8, buckets_per_commit=8, run_id="m")
+    m = checkpoint.metrics_summary(spark, base).collect()
+    assert len(m) == 1
+    assert m[0]["n_docs"] == N_DOCS
+    assert m[0]["n_buckets"] == 8
+    assert m[0]["n_spans"] > 0
