@@ -1,0 +1,253 @@
+"""Deduplication operators for the training-data pipeline.
+
+Exact dedup and MinHash live in queries.py; this module adds:
+
+  * **SimHash** — 60-bit signature from per-word 60-bit hashes
+    (bit-majority vote), plus 4×15-bit band buckets for near-dup
+    candidate generation. 60 bits (15 hex chars of md5) keeps the value
+    inside a signed 64-bit int in BOTH engines, so Spark and DuckDB
+    compute identical signatures.
+  * **Shingle Jaccard verification** — the second LSH stage: MinHash band
+    buckets propose candidate pairs (one shuffle, no O(n²)), then exact
+    word-3-gram Jaccard is computed ONLY for those pairs.
+
+Scale notes: SimHash is a single groupBy(doc) over exploded words —
+map-side partial aggregation keeps the shuffle at one row per (doc, 60
+votes). The Jaccard verify joins exploded shingles only for candidate
+pairs; candidates are a tiny fraction of the corpus, so the join's build
+side stays broadcastable at 100 TB corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_BITS = 60
+N_BANDS = 4
+BAND_BITS = N_BITS // N_BANDS
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 60-bit bit-majority signature over distinct
+    words. Hash = first 15 hex chars of md5(word) as int."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    votes = words.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when((F.expr(f"h div {1 << b}") % 2) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(N_BITS)
+    ])
+    sig = sum(
+        (F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+         for b in range(N_BITS)),
+        start=F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def _oracle_simhash_body() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(N_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(N_BITS)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents)
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
+
+
+ORACLE_SIMHASH = _oracle_simhash_body()
+
+
+def simhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate buckets: the 60-bit signature split into 4
+    15-bit bands; docs sharing any band value are candidates."""
+    sig = simhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                (F.expr(f"simhash div {1 << (i * BAND_BITS)}")
+                 % (1 << BAND_BITS)).cast("long").alias("bucket"),
+            )
+            for i in range(N_BANDS)
+        ])).alias("b"),
+    ).select("doc_id", "b.band", "b.bucket")
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_SIMHASH_BANDS = f"""
+WITH sig AS ({ORACLE_SIMHASH}),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band, "
+    f"CAST((simhash // {1 << (i * BAND_BITS)}) % {1 << BAND_BITS} AS BIGINT) AS bucket "
+    f"FROM sig"
+    for i in range(N_BANDS)
+  )}
+)
+SELECT band, bucket, count(*) AS n_docs, min(first_doc) AS first_doc
+FROM (SELECT band, bucket, doc_id, doc_id AS first_doc FROM bands)
+GROUP BY band, bucket HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shingle Jaccard verification of MinHash-LSH candidates
+# ---------------------------------------------------------------------------
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket) — 2 bands over 4 MinHash permutations
+    (mirrors queries.q_minhash_band_buckets)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.array_distinct(F.split("text", " "))
+
+    def _mh(salt: str):
+        return F.array_min(
+            F.transform(words, lambda w: F.md5(F.concat(F.lit(salt), w)))
+        )
+
+    sig = d.select("doc_id", *[_mh(f"s{i}:").alias(f"mh{i}") for i in range(4)])
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     F.md5(F.concat("mh0", "mh1")).alias("bucket")),
+            F.struct(F.lit(1).alias("band"),
+                     F.md5(F.concat("mh2", "mh3")).alias("bucket")),
+        )).alias("b"),
+    ).select("doc_id", "b.band", "b.bucket")
+
+
+def jaccard_pairs(spark: SparkSession, sf_dir: str,
+                  threshold: float = 0.5) -> DataFrame:
+    """LSH-verified near-dup pairs: candidate pairs from MinHash band
+    buckets, exact word-3-gram Jaccard computed only for those pairs,
+    kept when >= threshold."""
+    bands = _minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_i"),
+                F.col("b.doc_id").alias("doc_j"))
+        .distinct()
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split("text", " ")
+    shingles = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ).alias("sh"),
+    ).where(F.size(toks) >= 3)
+    counts = shingles.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
+    exploded = shingles.select("doc_id", F.explode("sh").alias("s"))
+
+    inter = (
+        cand
+        .join(exploded.select(F.col("doc_id").alias("doc_i"),
+                              F.col("s").alias("shingle")), "doc_i")
+        .join(exploded.select(F.col("doc_id").alias("doc_j"),
+                              F.col("s").alias("shingle")),
+              ["doc_j", "shingle"])
+        .groupBy("doc_i", "doc_j")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+
+    out = (
+        inter
+        .join(counts.select(F.col("doc_id").alias("doc_i"),
+                            F.col("n_sh").alias("n_i")), "doc_i")
+        .join(counts.select(F.col("doc_id").alias("doc_j"),
+                            F.col("n_sh").alias("n_j")), "doc_j")
+        .select(
+            "doc_i", "doc_j",
+            (F.col("n_inter") /
+             (F.col("n_i") + F.col("n_j") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+ORACLE_JACCARD_PAIRS = """
+WITH sig AS (
+  SELECT doc_id,
+         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s0:' || w))) AS mh0,
+         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s1:' || w))) AS mh1,
+         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s2:' || w))) AS mh2,
+         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s3:' || w))) AS mh3
+  FROM documents
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, list_distinct([
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           FOR i IN range(1, len(toks) - 1)
+         ]) AS shset
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+), counts AS (
+  SELECT doc_id, CAST(len(shset) AS BIGINT) AS n_sh FROM sh
+), ex AS (
+  SELECT doc_id, unnest(shset) AS shingle FROM sh
+), inter AS (
+  SELECT c.doc_i, c.doc_j, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN ex ei ON ei.doc_id = c.doc_i
+  JOIN ex ej ON ej.doc_id = c.doc_j AND ej.shingle = ei.shingle
+  GROUP BY c.doc_i, c.doc_j
+)
+SELECT i.doc_i, i.doc_j,
+       i.n_inter / (ci.n_sh + cj.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN counts ci ON ci.doc_id = i.doc_i
+JOIN counts cj ON cj.doc_id = i.doc_j
+WHERE i.n_inter / (ci.n_sh + cj.n_sh - i.n_inter) >= 0.5
+"""

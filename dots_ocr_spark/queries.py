@@ -21,7 +21,10 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import dedup as D
 from . import pipeline
+from . import similarity as S
+from . import textops as TX
 from .sources.ingest import interleaved_from_text
 
 # number of synthetic interleaved docs per sf for the extraction queries
@@ -411,6 +414,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
     "minhash_band_buckets": q_minhash_band_buckets,
+    "simhash": D.simhash_signatures,
+    "simhash_band_buckets": D.simhash_band_buckets,
+    "jaccard_pairs": D.jaccard_pairs,
+    "embed_topk": S.embed_topk,
+    "embed_ann_buckets": S.embed_ann_buckets,
+    "embed_neardup_pairs": S.embed_neardup_pairs,
+    "corpus_stats": TX.corpus_stats,
+    "media_decode": TX.media_decode,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
@@ -425,6 +436,14 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "minhash_signature": ORACLE_MINHASH,
     "minhash_band_buckets": ORACLE_MINHASH_BANDS,
+    "simhash": D.ORACLE_SIMHASH,
+    "simhash_band_buckets": D.ORACLE_SIMHASH_BANDS,
+    "jaccard_pairs": D.ORACLE_JACCARD_PAIRS,
+    "embed_topk": S.ORACLE_EMBED_TOPK,
+    "embed_ann_buckets": S.ORACLE_EMBED_ANN_BUCKETS,
+    "embed_neardup_pairs": S.ORACLE_EMBED_NEARDUP,
+    "corpus_stats": TX.ORACLE_CORPUS_STATS,
+    "media_decode": TX.ORACLE_MEDIA_DECODE,
     "pricing_summary": ORACLE_PRICING,
     "revenue_by_nation": ORACLE_REVENUE_NATION,
     "top_orders": ORACLE_TOP_ORDERS,

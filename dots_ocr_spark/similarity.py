@@ -1,0 +1,205 @@
+"""Similarity search over the embedding column (array<float>, 64-dim).
+
+  * **Brute-force cosine top-k** — the exactness baseline: broadcast the
+    (small) query set, scan the corpus once, rank per query. At 100 TB
+    scale this is the one-pass pattern: queries broadcast to every
+    executor, a single projection computes all dot products, and the
+    per-query top-k is a partial-aggregating window (no corpus self-join).
+  * **Sign-LSH (random hyperplane) buckets** — the scale path: H
+    deterministic hyperplanes give an H-bit bucket per vector; bucket
+    mates are near-neighbor candidates (one shuffle on the bucket id).
+    Hyperplane components are derived from md5 so the SAME double
+    literals are embedded in the Spark plan and the DuckDB oracle SQL —
+    both engines compute identical buckets.
+
+Determinism: dot products are computed as sequential double-precision
+sums of exact float32 products, which Spark's ``aggregate(zip_with(...))``
+and DuckDB's ``list_dot_product(CAST(... AS DOUBLE[]))`` evaluate
+identically (verified bit-exact in tests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
+    h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8]
+    return (int(h, 16) % 1000) / 500.0 - 1.0
+
+
+PLANES: list[list[float]] = [
+    [_plane_component(p, d) for d in range(DIM)] for p in range(N_PLANES)
+]
+
+
+def _dot(a, b):
+    """Sequential double-precision dot product (engine-parity form)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: for each of the first N_QUERIES vectors,
+    the TOP_K nearest other vectors by cosine (ties broken by vec_id)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ce"))
+    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+ORACLE_EMBED_TOPK = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+           AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+N_TABLES = 4
+PLANES_PER_TABLE = N_PLANES // N_TABLES
+
+
+def _sign_bit(p: int):
+    """Spark expression: sign bit of the projection onto plane p."""
+    plane = F.array(*[F.lit(v) for v in PLANES[p]])
+    return F.when(_dot(F.col("embedding"), plane) > 0, 1).otherwise(0)
+
+
+def _table_bucket_expr(t: int):
+    """Bucket id within LSH table t (PLANES_PER_TABLE sign bits)."""
+    bucket = F.lit(0).cast("long")
+    for i in range(PLANES_PER_TABLE):
+        p = t * PLANES_PER_TABLE + i
+        bucket = bucket + _sign_bit(p).cast("long") * F.lit(1 << i)
+    return bucket
+
+
+def embed_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, lsh_table, bucket) — banded sign-LSH: N_TABLES tables of
+    PLANES_PER_TABLE hyperplanes each. A single H-bit code has ~p^H
+    recall for moderate-similarity neighbors (p = 1 - θ/π per bit); with
+    B bands of r bits recall is 1-(1-p^r)^B — the same trade minhash-LSH
+    banding makes. Candidates = same (lsh_table, bucket)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).cast("long").alias("lsh_table"),
+                     _table_bucket_expr(t).alias("bucket"))
+            for t in range(N_TABLES)
+        ])).alias("b"),
+    ).select("vec_id", "b.lsh_table", "b.bucket")
+
+
+def _oracle_sign_bit_sql(p: int) -> str:
+    lits = ", ".join(repr(v) for v in PLANES[p])
+    return (f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{lits}]::DOUBLE[]) > 0 THEN 1 ELSE 0 END")
+
+
+def _oracle_table_bucket_sql(t: int) -> str:
+    return " + ".join(
+        f"{_oracle_sign_bit_sql(t * PLANES_PER_TABLE + i)} * {1 << i}"
+        for i in range(PLANES_PER_TABLE)
+    )
+
+
+ORACLE_EMBED_ANN_BUCKETS = f"""
+{" UNION ALL ".join(
+    f"SELECT vec_id, CAST({t} AS BIGINT) AS lsh_table, "
+    f"CAST({_oracle_table_bucket_sql(t)} AS BIGINT) AS bucket FROM embeddings"
+    for t in range(N_TABLES)
+)}
+"""
+
+
+def embed_neardup_pairs(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.3) -> DataFrame:
+    """Near-similar vector pairs: banded-LSH candidates (bucket mates in
+    ANY table, deduplicated) verified by exact cosine >= threshold.
+    Threshold 0.3 ~ the top percentile of this synthetic corpus (its max
+    pairwise cosine is 0.48 — no true duplicates exist by construction,
+    so the gate sits where candidates actually are)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = embed_ann_buckets(spark, sf_dir)
+    cand = (
+        b.alias("a").join(b.alias("c"), ["lsh_table", "bucket"])
+        .where(F.col("a.vec_id") < F.col("c.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_i"),
+                F.col("c.vec_id").alias("vec_j"))
+        .distinct()
+    )
+    ei = emb.select(F.col("vec_id").alias("vec_i"),
+                    F.col("embedding").alias("ei"))
+    ej = emb.select(F.col("vec_id").alias("vec_j"),
+                    F.col("embedding").alias("ej"))
+    cos = _dot(F.col("ei"), F.col("ej")) / (_norm(F.col("ei")) * _norm(F.col("ej")))
+    return (
+        cand.join(ei, "vec_i").join(ej, "vec_j")
+        .select("vec_i", "vec_j", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+ORACLE_EMBED_NEARDUP = f"""
+WITH b AS ({ORACLE_EMBED_ANN_BUCKETS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_i, c.vec_id AS vec_j
+  FROM b a JOIN b c ON a.lsh_table = c.lsh_table AND a.bucket = c.bucket
+  WHERE a.vec_id < c.vec_id
+)
+SELECT cand.vec_i, cand.vec_j,
+       list_dot_product(CAST(ei.embedding AS DOUBLE[]), CAST(ej.embedding AS DOUBLE[]))
+       / (sqrt(list_dot_product(CAST(ei.embedding AS DOUBLE[]), CAST(ei.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(ej.embedding AS DOUBLE[]), CAST(ej.embedding AS DOUBLE[]))))
+         AS cosine
+FROM cand
+JOIN embeddings ei ON ei.vec_id = cand.vec_i
+JOIN embeddings ej ON ej.vec_id = cand.vec_j
+WHERE list_dot_product(CAST(ei.embedding AS DOUBLE[]), CAST(ej.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(ei.embedding AS DOUBLE[]), CAST(ei.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(ej.embedding AS DOUBLE[]), CAST(ej.embedding AS DOUBLE[]))))
+      >= 0.3
+"""

@@ -1,0 +1,127 @@
+"""Corpus analytics + multimodal column plumbing.
+
+  * ``corpus_stats`` — per-(lang, source) rollup of the documents table
+    (decimal-routed averages so both engines agree bit-for-bit).
+  * ``media_decode`` — the multimodal pattern: an opaque ``binary``
+    column flows through an Arrow-batched ``mapInPandas`` decode stage
+    that emits typed metadata. The real decoder (PIL/libvips) is not in
+    this container, so the decode body is a clearly-marked deterministic
+    stub (metadata derived from the bytes themselves); the Spark-side
+    plumbing — binary column, schema, batching, UDF signature — is real
+    and value-checked against the oracle. Swap ``_decode_stub`` for a
+    real decoder on a cluster with image libs installed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # real decoder path — not available in this container
+    import PIL.Image  # noqa: F401
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.round(
+                F.avg(toks.cast("decimal(18,6)")), 4
+            ).cast("double").alias("avg_tokens"),
+            F.max(F.col("n_chars").cast("long")).alias("max_chars"),
+        )
+    )
+
+
+ORACLE_CORPUS_STATS = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(round(avg(CAST(len(string_split(text,' ')) AS DECIMAL(18,6))), 4) AS DOUBLE)
+         AS avg_tokens,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary column -> decode stub -> typed metadata
+# ---------------------------------------------------------------------------
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, media_md5 string, n_bytes long, "
+    "width int, height int, fmt string, decoder string"
+)
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """Deterministic stand-in for image decoding (container has no image
+    libs). Emits metadata derived purely from the bytes so the pipeline
+    stays value-checkable; a real deployment replaces this body with
+    PIL/pyvips decode + resize/feature-extract."""
+    md5 = hashlib.md5(payload).hexdigest()
+    n = len(payload)
+    return {
+        "media_md5": md5,
+        "n_bytes": n,
+        "width": 64 + n % 960,
+        "height": 64 + (n * 7) % 960,
+        "fmt": "png" if (n % 2 == 0) else "jpeg",
+        "decoder": "stub",
+    }
+
+
+def _decode_real(payload: bytes) -> dict:  # pragma: no cover
+    raise NotImplementedError(
+        "real image decode requires PIL/pyvips — not shipped in this "
+        "container; wire it here and set decoder='pil'")
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    decode = _decode_real if _HAVE_PIL else _decode_stub
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"].tolist(),
+                                   pdf["media_bytes"].tolist()):
+            m = decode(bytes(payload))
+            rows.append((doc_id, m["media_md5"], m["n_bytes"], m["width"],
+                         m["height"], m["fmt"], m["decoder"]))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "media_md5", "n_bytes", "width", "height", "fmt",
+            "decoder"])
+
+
+def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: documents' text bytes stand in for
+    image payloads (the corpus ships no real media); the decode stage is
+    a deterministic Arrow-batched mapInPandas over the binary column."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select("doc_id", F.encode("text", "UTF-8").alias("media_bytes"))
+    return media.mapInPandas(_decode_batches, schema=MEDIA_META_SCHEMA)
+
+
+# the corpus text is ASCII, so byte length == char length and DuckDB can
+# mirror every stub-derived field in SQL
+ORACLE_MEDIA_DECODE = """
+SELECT doc_id,
+       md5(text) AS media_md5,
+       length(text) AS n_bytes,
+       CAST(64 + length(text) % 960 AS INT) AS width,
+       CAST(64 + (length(text) * 7) % 960 AS INT) AS height,
+       CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       'stub' AS decoder
+FROM documents
+"""
