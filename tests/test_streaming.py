@@ -1,0 +1,53 @@
+"""Streaming extraction gate: the file-stream front-end must produce the
+same results as the batch pipeline, process newly-arriving files
+incrementally, and not reprocess already-seen files across restarts
+(file-source checkpoint = the streaming resume story)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dots_ocr_spark import pipeline
+from dots_ocr_spark.streaming import stream_extract
+
+N1, N2 = 120, 80
+
+
+def _fingerprint(df):
+    rows = df.select("doc_id", "n_spans", F.md5("markdown").alias("m")).collect()
+    return {r["doc_id"]: (r["n_spans"], r["m"]) for r in rows}
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return (str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+
+def test_stream_matches_batch_and_resumes(spark, dirs):
+    input_dir, output_dir, ckpt = dirs
+
+    batch1 = pipeline.generate_input(spark, N1, partitions=4)
+    batch1.write.mode("append").parquet(input_dir)
+
+    q = stream_extract(spark, input_dir, output_dir, ckpt)
+    q.awaitTermination(120)
+
+    got1 = _fingerprint(spark.read.parquet(output_dir))
+    exp1 = _fingerprint(pipeline.extract(batch1))
+    assert got1 == exp1
+
+    # new files land; a restarted availableNow query drains ONLY them
+    batch2 = pipeline.generate_input(spark, N1 + N2, partitions=4).where(
+        F.col("doc_id") >= F.lit(f"doc-{N1:08d}"))
+    batch2.write.mode("append").parquet(input_dir)
+
+    q2 = stream_extract(spark, input_dir, output_dir, ckpt)
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(output_dir)
+    assert out.count() == N1 + N2
+    # no duplicates: already-processed files were not re-read
+    assert out.select("doc_id").distinct().count() == N1 + N2
+    got2 = _fingerprint(out)
+    exp2 = {**exp1, **_fingerprint(pipeline.extract(batch2))}
+    assert got2 == exp2
