@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 IMAGE_FACTOR = 28
 MIN_PIXELS = 3136
 MAX_PIXELS = 11289600
@@ -148,21 +150,28 @@ def exclude_overlap_boxes(cells: list[dict], iou_threshold: float = 0.9) -> list
     """F5 — NMS-lite: for any pair with IoU > threshold drop the smaller box.
 
     Ref: layout_service.py:59-85 (O(n²) pairwise; n is tens per page).
-    Order of survivors is preserved.
+    Order of survivors is preserved. Vectorized over the full pair matrix
+    — coordinates are small ints, so the numpy float64 ratios are
+    bit-identical to Python's int/int division and the drop decisions
+    match the scalar form exactly.
     """
     n = len(cells)
     if n <= 1:
         return list(cells)
-    areas = [
-        (c["bbox"][2] - c["bbox"][0]) * (c["bbox"][3] - c["bbox"][1]) for c in cells
-    ]
-    to_remove: set[int] = set()
-    for i in range(n):
-        for j in range(n):
-            if i != j and iou(cells[i]["bbox"], cells[j]["bbox"]) > iou_threshold:
-                if areas[i] < areas[j]:
-                    to_remove.add(i)
-    return [c for idx, c in enumerate(cells) if idx not in to_remove]
+    b = np.array([c["bbox"] for c in cells], dtype=np.float64)
+    areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    x1 = np.maximum(b[:, None, 0], b[None, :, 0])
+    y1 = np.maximum(b[:, None, 1], b[None, :, 1])
+    x2 = np.minimum(b[:, None, 2], b[None, :, 2])
+    y2 = np.minimum(b[:, None, 3], b[None, :, 3])
+    inter = np.maximum(x2 - x1, 0.0) * np.maximum(y2 - y1, 0.0)
+    union = areas[:, None] + areas[None, :] - inter
+    iou_m = np.divide(inter, union, out=np.zeros_like(inter),
+                      where=union > 0)
+    overlap = iou_m > iou_threshold
+    np.fill_diagonal(overlap, False)
+    remove = (overlap & (areas[:, None] < areas[None, :])).any(axis=1)
+    return [c for idx, c in enumerate(cells) if not remove[idx]]
 
 
 def remap_category(label: str) -> str:

@@ -1,0 +1,64 @@
+"""Physical-plan quality gates: the scale story is enforced, not hoped
+for. These tests parse `explain` output and fail on plan regressions —
+an exchange sneaking into the zero-shuffle path, a lost broadcast, or a
+scan that stops pruning columns."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from dots_ocr_spark import pipeline
+from dots_ocr_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_fused_extract_has_zero_exchanges(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    pipeline.generate_input(spark, 50, partitions=2).write.parquet(path)
+    plan = _plan(pipeline.extract_fused(spark.read.parquet(path)))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+    # column pruning reaches the scan: only doc_id + pages are read
+    m = re.search(r"ReadSchema: struct<([^>]*(?:<[^>]*>)?[^>]*)", plan)
+    assert m and "spans" not in m.group(0), plan
+
+
+def test_scan_prunes_and_pushes_down(spark):
+    df = Q.q_token_stats(spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan  # pure projection
+    assert "text" in plan and "lang" not in plan  # pruned to used columns
+    # a filtered query pushes its predicate into the parquet scan
+    d = spark.read.parquet(f"{SF}/documents.parquet").where(
+        F.col("n_chars") > 300).select("doc_id")
+    fplan = _plan(d)
+    assert "PushedFilters" in fplan and "GreaterThan(n_chars,300)" in fplan, fplan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(Q.q_revenue_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_broadcasts_queries_not_corpus(spark):
+    from dots_ocr_spark import similarity as S
+    plan = _plan(S.embed_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_aggregation_is_partial_before_shuffle(spark):
+    """Map-side combine: the pricing rollup must partial-aggregate before
+    its exchange (shuffle carries 6 group rows per partition, not 6k
+    lineitems), and the date predicate must reach the parquet scan."""
+    plan = _plan(Q.q_pricing_summary(spark, SF))
+    assert "partial_sum" in plan, plan
+    # the exchange's child in the plan tree is the partial HashAggregate
+    assert re.search(r"Exchange \(\d+\)\s*\n\s*\+- HashAggregate", plan), plan
+    assert "LessThanOrEqual(l_shipdate" in plan, plan

@@ -81,15 +81,10 @@ docs = spark.read.parquet(path)
 # warmup: ~10% of the real input through the full job — initializes
 # Python workers, JIT-compiles the scan/Arrow path, grows the heap
 pipeline.extract(docs.sample(0.1, seed=1)).count()
-best = None
-for _ in range(2):
-    t0 = time.perf_counter()
-    n = pipeline.extract(docs).count()
-    dt = time.perf_counter() - t0
-    if best is None or dt < best[0]:
-        best = (dt, n)
-dt, n = best
-print("RESULT " + json.dumps({"cpus": cpus, "docs": n, "sec": round(dt, 3),
+t0 = time.perf_counter()
+n = pipeline.extract(docs).count()
+dt = round(time.perf_counter() - t0, 3)
+print("RESULT " + json.dumps({"cpus": cpus, "docs": n, "sec": dt,
                               "docs_per_sec": round(n / dt, 2)}))
 spark.stop()
 """
@@ -125,15 +120,31 @@ def main() -> None:
     # N- vs 4N-executor cluster comparison looks like.
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--xn", type=int, default=16)
+    ap.add_argument("--pairs", type=int, default=3,
+                    help="interleaved N/4N measurement pairs")
     ap.add_argument("--keep-input", action="store_true")
     args = ap.parse_args()
 
     print(f"preparing {args.docs}-doc input table at {INPUT_DIR} ...", file=sys.stderr)
     run(PREPARE, str(args.docs), INPUT_DIR)
 
-    lo = run_level(args.n)
-    hi = run_level(args.xn)
-    eff = round((hi["docs_per_sec"] / lo["docs_per_sec"]) / (args.xn / args.n), 3)
+    # The sandbox VM suffers time-varying host-level contention (identical
+    # runs vary ±50% minutes apart), so a single N measurement and a
+    # single 4N measurement taken at different moments produce arbitrary
+    # ratios. Interleave the levels in back-to-back pairs and score each
+    # pair — temporal drift then hits both levels of a pair roughly
+    # equally — and report the pair executed under the least contention
+    # (minimal combined wall time).
+    pairs = []
+    for i in range(args.pairs):
+        lo = run_level(args.n)
+        hi = run_level(args.xn)
+        eff = round((hi["docs_per_sec"] / lo["docs_per_sec"]) / (args.xn / args.n), 3)
+        pairs.append({"N": lo, "4N": hi, "efficiency": eff,
+                      "combined_sec": round(lo["sec"] + hi["sec"], 3)})
+        print(json.dumps(pairs[-1]), file=sys.stderr)
+    best = min(pairs, key=lambda p: p["combined_sec"])
+    lo, hi, eff = best["N"], best["4N"], best["efficiency"]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — measured throughput & scaling
@@ -160,7 +171,13 @@ Method notes:
   ~2N cores, so both levels must fit under the VM's core count or the
   measurement reflects oversubscription, not the job.
 - Input table materialized to parquet once, untimed; warmup = full job
-  over a 10% sample; best of 2 timed runs; `-Xms` presized heap.
+  over a 10% sample per child; `-Xms` presized heap.
+- The sandbox VM shows ±50% run-to-run noise from host-level contention
+  outside the job's control, so levels are measured in {args.pairs}
+  interleaved back-to-back N/4N pairs (drift hits both levels of a pair
+  ~equally); the reported pair is the one executed under the least
+  contention. All pairs:
+  {chr(10).join('  - ' + json.dumps({k: p[k] for k in ('efficiency', 'combined_sec')}) + f" (N {p['N']['docs_per_sec']} d/s, 4N {p['4N']['docs_per_sec']} d/s)" for p in pairs)}
 - Split sizing: `spark.sql.files.maxPartitionBytes` =
   input_bytes/(cores×16) → ~16 task waves per core.
 - Produced by `python tools/bench_scaling.py --docs {args.docs} --n {args.n} --xn {args.xn}`.
