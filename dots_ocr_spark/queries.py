@@ -399,6 +399,129 @@ FROM flagged GROUP BY user_id
 """
 
 
+def q_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (window): 3 biggest orders per customer."""
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+ORACLE_TOP_PER_CUST = """
+SELECT o_custkey, rnk, o_orderkey, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers that never ordered."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+ORACLE_CUST_NO_ORDERS = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+"""
+
+
+def q_event_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over the events stream (+ JSON field
+    extraction from the props column, T12 analog)."""
+    e = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k_bucket", (k % 10).cast("long"))
+        .rollup("event_type", "k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double").alias("total_value"),
+        )
+    )
+
+
+ORACLE_EVENT_ROLLUP = """
+SELECT event_type, k_bucket, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM (SELECT event_type,
+             CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+               AS k_bucket,
+             value
+      FROM events)
+GROUP BY ROLLUP (event_type, k_bucket)
+"""
+
+
+def q_asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively, composed scalably:
+    for every 'error' event, the most recent prior 'click' by the same
+    user. Instead of an O(n²) inequality join, both streams are unioned
+    and sorted per user; a forward-carried ``last(..., ignorenulls)``
+    window delivers the as-of match in one shuffle (the standard
+    union+window as-of pattern). DuckDB's native ASOF JOIN is the oracle.
+    """
+    e = _read(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("click", "error")).select(
+        "event_id", "ts", "user_id", "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged
+        .withColumn("prev_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("prev_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .where(F.col("event_type") == "error")
+        # inner as-of semantics: errors with no prior click are dropped —
+        # keeps the output NULL-free so value comparison is dtype-stable
+        # across engines (nullable ints decay to float64+NaN in pandas)
+        .where(F.col("prev_click_id").isNotNull())
+        # formatted strings, not raw timestamps: timestamp columns
+        # round-trip through pandas with engine-dependent units (ns vs us)
+        # and would break value-hash comparison despite equal instants
+        .select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            "prev_click_id",
+            F.date_format("prev_click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("prev_click_ts_str"),
+        )
+    )
+
+
+ORACLE_ASOF = """
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       c.event_id AS prev_click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_click_ts_str
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND c.ts < e.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -425,6 +548,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "customers_without_orders": q_customers_without_orders,
+    "event_value_rollup": q_event_value_rollup,
+    "asof_click_before_error": q_asof_click_before_error,
     "sessionize": q_sessionize,
 }
 
@@ -447,5 +574,9 @@ ORACLE_SQL: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
     "revenue_by_nation": ORACLE_REVENUE_NATION,
     "top_orders": ORACLE_TOP_ORDERS,
+    "top_orders_per_cust": ORACLE_TOP_PER_CUST,
+    "customers_without_orders": ORACLE_CUST_NO_ORDERS,
+    "event_value_rollup": ORACLE_EVENT_ROLLUP,
+    "asof_click_before_error": ORACLE_ASOF,
     "sessionize": ORACLE_SESSIONIZE,
 }

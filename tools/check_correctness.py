@@ -25,6 +25,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            # Spark toPandas gives datetime64[ns], duckdb fetchdf
+            # datetime64[us]; identical instants must compare equal
+            df[c] = df[c].astype("datetime64[us]").astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
