@@ -42,13 +42,27 @@ def build_spark(cpus: int):
 
 HEADLINE = [
     "extract_spans",
+    "extract_docs",
     "extract_from_corpus",
     "token_stats",
     "quality_score",
+    "fingerprint",
+    "langid",
+    "corpus_stats",
+    "media_decode",
     "dedup_exact",
+    "minhash_signature",
     "minhash_band_buckets",
+    "simhash",
+    "embed_topk",
+    "embed_ann_buckets",
     "pricing_summary",
     "revenue_by_nation",
+    "top_orders",
+    "top_orders_per_cust",
+    "customers_without_orders",
+    "event_value_rollup",
+    "asof_click_before_error",
     "sessionize",
 ]
 
@@ -65,10 +79,12 @@ def main() -> None:
     from __spark_entry__ import queries
 
     qs = queries()
+    # Headline = the representative fast set. The pair-verification
+    # queries (jaccard_pairs, embed_neardup_pairs, simhash_band_buckets)
+    # are value-checked by the correctness gate at sf0.01 but excluded
+    # here: their candidate volume is a property of the tiny synthetic
+    # corpus's similarity structure, not of engine speed.
     names = [n for n in HEADLINE if n in qs]
-    # any registered query not in the headline list still runs (coverage),
-    # but after the headline ones so the headline timings are stable.
-    names += [n for n in qs if n not in names]
 
     # Warmup: initialize Python workers / Arrow / codegen on every core so
     # timings measure steady-state throughput, not JVM+worker cold start.

@@ -152,8 +152,21 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str,
                   threshold: float = 0.5) -> DataFrame:
     """LSH-verified near-dup pairs: candidate pairs from MinHash band
     buckets, exact word-3-gram Jaccard computed only for those pairs,
-    kept when >= threshold."""
-    bands = _minhash_bands(spark, sf_dir)
+    kept when >= threshold.
+
+    Pairing runs over exact-dup cluster REPRESENTATIVES (min doc_id per
+    text hash), not raw docs: a cluster of k byte-identical documents
+    would otherwise contribute k²/2 candidate pairs with jaccard 1 — a
+    quadratic blowup on dup-heavy web corpora. Exact dedup (q_dedup_exact)
+    precedes near-dedup in the pipeline, exactly as at production scale.
+    """
+    d0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = (
+        d0.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    bands = _minhash_bands(spark, sf_dir).join(reps, "doc_id")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -164,7 +177,7 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str,
         .distinct()
     )
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = d0.join(reps, "doc_id")
     toks = F.split("text", " ")
     shingles = d.select(
         "doc_id",
@@ -211,13 +224,16 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str,
 
 
 ORACLE_JACCARD_PAIRS = """
-WITH sig AS (
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), sig AS (
   SELECT doc_id,
          list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s0:' || w))) AS mh0,
          list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s1:' || w))) AS mh1,
          list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s2:' || w))) AS mh2,
          list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s3:' || w))) AS mh3
   FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM reps)
 ), bands AS (
   SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
   UNION ALL
@@ -231,7 +247,8 @@ WITH sig AS (
            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
            FOR i IN range(1, len(toks) - 1)
          ]) AS shset
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM reps))
   WHERE len(toks) >= 3
 ), counts AS (
   SELECT doc_id, CAST(len(shset) AS BIGINT) AS n_sh FROM sh
