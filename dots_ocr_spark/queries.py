@@ -78,12 +78,40 @@ def q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_from_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest the flat documents corpus through the SAME extraction
-    pipeline (JVM-only pagination source → parse → assemble)."""
+    pipeline (JVM-only pagination source → parse UDF → XY-cut order →
+    markdown render → assemble). Because this input path is clean
+    single-column text, the END-TO-END pipeline output is SQL-expressible
+    and gets a full value oracle — the uncorrupted-path complement to the
+    pytest golden gate (which covers multi-column/malformed inputs no SQL
+    can express)."""
     flat = _read(spark, sf_dir, "documents")
     docs = interleaved_from_text(flat)
-    out = pipeline.extract(docs, shuffle_pages=False)
+    out = pipeline.extract(docs)
     return out.select("doc_id", "n_pages", "n_spans", "status",
                       F.md5("markdown").alias("markdown_md5"))
+
+
+# mirrors sources/ingest.py chunking (CHUNK_WORDS=40) + render/assembly:
+# each 40-word chunk is one Text span; page markdown joins chunks with
+# blank lines; document markdown appends a trailing blank line.
+ORACLE_EXTRACT_CORPUS = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(ceil(n / 40.0) AS INT) AS n_chunks,
+         [array_to_string(toks[(i*40+1):least((i+1)*40, n)], ' ')
+          FOR i IN range(0, CAST(ceil(n / 40.0) AS INT))] AS chunks
+  FROM t
+)
+SELECT doc_id, 1 AS n_pages, CAST(n_chunks AS INT) AS n_spans, 'ok' AS status,
+       md5(array_to_string(chunks, chr(10)||chr(10)) || chr(10)||chr(10))
+         AS markdown_md5
+FROM c
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -556,6 +584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
     "token_stats": ORACLE_TOKEN_STATS,
     "fingerprint": ORACLE_FINGERPRINT,
     "langid": ORACLE_LANGID,

@@ -135,7 +135,10 @@ def parse_final_json(text: str) -> Optional[list[dict]]:
     try:
         data = json.loads(text)
         if isinstance(data, list):
-            return data
+            # scalar/garbage elements inside a parseable list are dropped
+            # (the reference's list path does the same via its item-shape
+            # gate, output_cleaner.py:43-107)
+            return [x for x in data if isinstance(x, dict)]
         return None
     except (json.JSONDecodeError, ValueError):
         valid: list[dict] = []
