@@ -53,6 +53,31 @@ def test_topk_broadcasts_queries_not_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_bucketed_output_joins_without_exchange(spark, tmp_path):
+    """Bucketed output tables must let downstream doc_id joins and
+    aggregations run with ZERO exchanges (the co-located-join scale
+    pattern; broadcast disabled to prove it's the bucketing)."""
+    from dots_ocr_spark.sinks import write_bucketed
+
+    out = pipeline.extract(pipeline.generate_input(spark, 120, partitions=4))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(out.select("doc_id", "n_spans", "status"),
+                       "t_meta_b", n_buckets=8)
+        write_bucketed(out.select("doc_id", "markdown"), "t_md_b", n_buckets=8)
+        j = spark.table("t_meta_b").join(spark.table("t_md_b"), "doc_id")
+        assert "Exchange" not in _plan(j), _plan(j)
+        assert j.count() == 120
+        g = spark.table("t_meta_b").groupBy("doc_id").agg(
+            F.sum("n_spans").alias("s"))
+        assert "Exchange" not in _plan(g), _plan(g)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")
+        spark.sql("DROP TABLE IF EXISTS t_md_b")
+
+
 def test_aggregation_is_partial_before_shuffle(spark):
     """Map-side combine: the pricing rollup must partial-aggregate before
     its exchange (shuffle carries 6 group rows per partition, not 6k
