@@ -113,7 +113,7 @@ def main() -> None:
         "cpus": cpus,
         "extract_spans_rows": n_extract_docs,
         "extract_docs_per_sec": round(
-            (max(50, int(30_000 * sf))) / flagship_t, 2
+            (max(50, int(100_000 * sf))) / flagship_t, 2
         ),
     }
     print(json.dumps(out))

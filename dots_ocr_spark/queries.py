@@ -28,8 +28,10 @@ from . import textops as TX
 from .sources.ingest import interleaved_from_text
 
 # number of synthetic interleaved docs per sf for the extraction queries
-# (scale-proportional: sf0.01 → 300 docs)
-EXTRACT_DOCS_PER_SF = 30_000
+# (scale-proportional: sf0.01 → 1000 docs, sf0.1 → 10000). Sized so the
+# sf0.1 bench run is long enough to measure steady-state throughput
+# rather than fixed job overhead.
+EXTRACT_DOCS_PER_SF = 100_000
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
