@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 
 from pyspark.sql import SparkSession
@@ -8,6 +10,8 @@ def spark():
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("dots-ocr-spark-tests")
+        .config("spark.sql.warehouse.dir",
+                tempfile.mkdtemp(prefix="spark-wh-"))
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
