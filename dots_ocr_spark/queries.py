@@ -552,6 +552,75 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per returnflag, quantity totals spread across linestatus
+    columns (explicit value list keeps the schema static)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+             .cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       CAST(round(sum(CASE WHEN l_linestatus = 'O'
+                           THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+         AS qty_open,
+       CAST(round(sum(CASE WHEN l_linestatus = 'F'
+                           THEN CAST(l_quantity AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+         AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over order priority × status."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+             .cast("double").alias("total_price"))
+    )
+
+
+ORACLE_CUBE = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_buyers_with_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: INTERSECT of the event-user domain with the order-placing
+    customer domain, plus EXCEPT for event users who never ordered."""
+    e = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid")).distinct()
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid")).distinct()
+    both = e.intersect(o).select("uid", F.lit("buyer").alias("segment"))
+    only_events = e.exceptAll(o.intersect(e)).select(
+        "uid", F.lit("event_only").alias("segment"))
+    return both.unionByName(only_events)
+
+
+ORACLE_SET_OPS = """
+SELECT uid, 'buyer' AS segment
+FROM (SELECT DISTINCT user_id AS uid FROM events
+      INTERSECT SELECT DISTINCT o_custkey FROM orders)
+UNION ALL
+SELECT uid, 'event_only' AS segment
+FROM (SELECT DISTINCT user_id AS uid FROM events
+      EXCEPT SELECT DISTINCT o_custkey FROM orders)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -582,6 +651,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "event_value_rollup": q_event_value_rollup,
     "asof_click_before_error": q_asof_click_before_error,
+    "pivot_status": q_pivot_status,
+    "cube_order_stats": q_cube_order_stats,
+    "buyers_with_events": q_buyers_with_events,
     "sessionize": q_sessionize,
 }
 
@@ -609,5 +681,8 @@ ORACLE_SQL: dict[str, str] = {
     "customers_without_orders": ORACLE_CUST_NO_ORDERS,
     "event_value_rollup": ORACLE_EVENT_ROLLUP,
     "asof_click_before_error": ORACLE_ASOF,
+    "pivot_status": ORACLE_PIVOT,
+    "cube_order_stats": ORACLE_CUBE,
+    "buyers_with_events": ORACLE_SET_OPS,
     "sessionize": ORACLE_SESSIONIZE,
 }
