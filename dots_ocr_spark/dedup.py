@@ -20,7 +20,7 @@ side stays broadcastable at 100 TB corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_BITS = 60
