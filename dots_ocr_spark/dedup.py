@@ -125,25 +125,51 @@ GROUP BY band, bucket HAVING count(*) > 1
 # Shingle Jaccard verification of MinHash-LSH candidates
 # ---------------------------------------------------------------------------
 
+def _shingle_expr():
+    """Distinct word-3-gram shingles of the ``text`` column."""
+    toks = F.split("text", " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+
+
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, bucket) — 2 bands over 4 MinHash permutations
-    (mirrors queries.q_minhash_band_buckets)."""
+    """(doc_id, band, bucket) — 2 bands × 4 MinHash permutations over
+    word-3-gram SHINGLES.
+
+    Shingles, not words: on a small-vocabulary corpus word-level
+    min-hashes collide massively (measured: two buckets holding 3855 and
+    2967 of 5000 docs → 9M candidate pairs); the shingle space is large
+    enough that bucket sizes track true similarity. Band width r=4 puts
+    the S-curve 50%-recall point at j ≈ (1/2)^(1/4) ≈ 0.84 — tuned for
+    near-DUPLICATE detection (the word-level 2-permutation variant in
+    queries.q_minhash_band_buckets demonstrates the loose end of the
+    trade-off)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.array_distinct(F.split("text", " "))
+    sh = _shingle_expr()
 
     def _mh(salt: str):
         return F.array_min(
-            F.transform(words, lambda w: F.md5(F.concat(F.lit(salt), w)))
+            F.transform(F.col("sh"), lambda w: F.md5(F.concat(F.lit(salt), w)))
         )
 
-    sig = d.select("doc_id", *[_mh(f"s{i}:").alias(f"mh{i}") for i in range(4)])
+    sig = d.select("doc_id", sh.alias("sh")).where(F.size("sh") >= 1).select(
+        "doc_id", *[_mh(f"p{i}:").alias(f"mh{i}") for i in range(8)])
     return sig.select(
         "doc_id",
         F.explode(F.array(
             F.struct(F.lit(0).alias("band"),
-                     F.md5(F.concat("mh0", "mh1")).alias("bucket")),
+                     F.md5(F.concat("mh0", "mh1", "mh2", "mh3")).alias("bucket")),
             F.struct(F.lit(1).alias("band"),
-                     F.md5(F.concat("mh2", "mh3")).alias("bucket")),
+                     F.md5(F.concat("mh4", "mh5", "mh6", "mh7")).alias("bucket")),
         )).alias("b"),
     ).select("doc_id", "b.band", "b.bucket")
 
@@ -193,55 +219,38 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str,
             )
         ).alias("sh"),
     ).where(F.size(toks) >= 3)
-    counts = shingles.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
-    exploded = shingles.select("doc_id", F.explode("sh").alias("s"))
-
-    inter = (
-        cand
-        .join(exploded.select(F.col("doc_id").alias("doc_i"),
-                              F.col("s").alias("shingle")), "doc_i")
-        .join(exploded.select(F.col("doc_id").alias("doc_j"),
-                              F.col("s").alias("shingle")),
-              ["doc_j", "shingle"])
-        .groupBy("doc_i", "doc_j")
-        .agg(F.count("*").cast("long").alias("n_inter"))
-    )
-
+    # verify by joining the (small, distinct) shingle ARRAYS onto each
+    # candidate pair and intersecting per pair with the codegen'd
+    # array_intersect — an exploded shingle equi-join materializes and
+    # shuffles |candidates| × |shared shingles| rows (measured ~40×
+    # slower at sf0.1). Two key-joins + a per-row set intersection.
     out = (
-        inter
-        .join(counts.select(F.col("doc_id").alias("doc_i"),
-                            F.col("n_sh").alias("n_i")), "doc_i")
-        .join(counts.select(F.col("doc_id").alias("doc_j"),
-                            F.col("n_sh").alias("n_j")), "doc_j")
+        cand
+        .join(shingles.select(F.col("doc_id").alias("doc_i"),
+                              F.col("sh").alias("sh_i")), "doc_i")
+        .join(shingles.select(F.col("doc_id").alias("doc_j"),
+                              F.col("sh").alias("sh_j")), "doc_j")
+        .withColumn("n_inter",
+                    F.size(F.array_intersect("sh_i", "sh_j")).cast("long"))
         .select(
             "doc_i", "doc_j",
             (F.col("n_inter") /
-             (F.col("n_i") + F.col("n_j") - F.col("n_inter"))).alias("jaccard"),
+             (F.size("sh_i").cast("long") + F.size("sh_j").cast("long")
+              - F.col("n_inter"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
     return out
 
 
-ORACLE_JACCARD_PAIRS = """
+_MH_COLS = ",\n         ".join(
+    f"list_min(list_transform(shset, w -> md5('p{i}:' || w))) AS mh{i}"
+    for i in range(8)
+)
+
+ORACLE_JACCARD_PAIRS = f"""
 WITH reps AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-), sig AS (
-  SELECT doc_id,
-         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s0:' || w))) AS mh0,
-         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s1:' || w))) AS mh1,
-         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s2:' || w))) AS mh2,
-         list_min(list_transform(list_distinct(string_split(text,' ')), w -> md5('s3:' || w))) AS mh3
-  FROM documents
-  WHERE doc_id IN (SELECT doc_id FROM reps)
-), bands AS (
-  SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
-  UNION ALL
-  SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id
 ), sh AS (
   SELECT doc_id, list_distinct([
            toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -250,21 +259,27 @@ WITH reps AS (
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         WHERE doc_id IN (SELECT doc_id FROM reps))
   WHERE len(toks) >= 3
-), counts AS (
-  SELECT doc_id, CAST(len(shset) AS BIGINT) AS n_sh FROM sh
-), ex AS (
-  SELECT doc_id, unnest(shset) AS shingle FROM sh
-), inter AS (
-  SELECT c.doc_i, c.doc_j, CAST(count(*) AS BIGINT) AS n_inter
-  FROM cand c
-  JOIN ex ei ON ei.doc_id = c.doc_i
-  JOIN ex ej ON ej.doc_id = c.doc_j AND ej.shingle = ei.shingle
-  GROUP BY c.doc_i, c.doc_j
+), sig AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM sh WHERE len(shset) >= 1
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS bucket FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
 )
-SELECT i.doc_i, i.doc_j,
-       i.n_inter / (ci.n_sh + cj.n_sh - i.n_inter) AS jaccard
-FROM inter i
-JOIN counts ci ON ci.doc_id = i.doc_i
-JOIN counts cj ON cj.doc_id = i.doc_j
-WHERE i.n_inter / (ci.n_sh + cj.n_sh - i.n_inter) >= 0.5
+SELECT c.doc_i, c.doc_j,
+       CAST(len(list_intersect(si.shset, sj.shset)) AS BIGINT)
+       / (CAST(len(si.shset) AS BIGINT) + CAST(len(sj.shset) AS BIGINT)
+          - CAST(len(list_intersect(si.shset, sj.shset)) AS BIGINT)) AS jaccard
+FROM cand c
+JOIN sh si ON si.doc_id = c.doc_i
+JOIN sh sj ON sj.doc_id = c.doc_j
+WHERE CAST(len(list_intersect(si.shset, sj.shset)) AS BIGINT)
+      / (CAST(len(si.shset) AS BIGINT) + CAST(len(sj.shset) AS BIGINT)
+         - CAST(len(list_intersect(si.shset, sj.shset)) AS BIGINT)) >= 0.5
 """
