@@ -642,6 +642,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_topk": S.embed_topk,
     "embed_ann_buckets": S.embed_ann_buckets,
     "embed_neardup_pairs": S.embed_neardup_pairs,
+    "ivf_assign": S.ivf_assign,
+    "ivf_topk": S.ivf_topk,
     "corpus_stats": TX.corpus_stats,
     "media_decode": TX.media_decode,
     "pricing_summary": q_pricing_summary,
@@ -672,6 +674,8 @@ ORACLE_SQL: dict[str, str] = {
     "embed_topk": S.ORACLE_EMBED_TOPK,
     "embed_ann_buckets": S.ORACLE_EMBED_ANN_BUCKETS,
     "embed_neardup_pairs": S.ORACLE_EMBED_NEARDUP,
+    "ivf_assign": S.ORACLE_IVF_ASSIGN,
+    "ivf_topk": S.ORACLE_IVF_TOPK,
     "corpus_stats": TX.ORACLE_CORPUS_STATS,
     "media_decode": TX.ORACLE_MEDIA_DECODE,
     "pricing_summary": ORACLE_PRICING,

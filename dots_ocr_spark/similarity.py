@@ -183,6 +183,136 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-bucketed alternative to sign-LSH
+# ---------------------------------------------------------------------------
+
+CENTROID_STEP = 50   # every 50th vector doubles as a coarse centroid
+N_PROBE = 2          # query probes its 2 nearest centroids
+IVF_TOP_K = 3
+
+
+def _cos(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build step: every vector assigned to its nearest centroid by
+    cosine (centroids = the deterministic vec_id % CENTROID_STEP == 0
+    subset — a stand-in for k-means, which would not be engine-parity
+    testable). Relational shape: broadcast the small centroid set, one
+    scan, windowed argmax — the same plan that assigns 10^12 vectors to
+    10^5 centroids with one shuffle on the window key."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents)) \
+        .select("vec_id", "centroid_id",
+                _cos(F.col("embedding"), F.col("ce")).alias("cos"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.col("cos").alias("cosine"))
+    )
+
+
+_ORACLE_CENT_COS = """
+list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+/ (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+   * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
+
+ORACLE_IVF_ASSIGN = f"""
+WITH scored AS (
+  SELECT e.vec_id, c.vec_id AS centroid_id,
+         {_ORACLE_CENT_COS} AS cos
+  FROM embeddings e
+  JOIN embeddings c ON c.vec_id % {CENTROID_STEP} = 0
+), ranked AS (
+  SELECT vec_id, centroid_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id, cos AS cosine FROM ranked WHERE rn = 1
+"""
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: each query vector (vec_id < N_QUERIES) searches only the
+    members of its N_PROBE nearest centroids' lists — exact cosine inside
+    the probed cells, top IVF_TOP_K. At scale this scans |probe lists|
+    instead of the corpus; the assignment table is the inverted file."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    cents = emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qe", "centroid_id",
+                _cos(F.col("qe"), F.col("ce")).alias("ccos"))
+        .withColumn("prn", F.row_number().over(probe_w))
+        .where(F.col("prn") <= N_PROBE)
+        .select("query_id", "qe", "centroid_id")
+    )
+    members = assign.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ne")),
+        assign.vec_id == F.col("neighbor_id"))
+    scored = (
+        probes.join(members, "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                _cos(F.col("qe"), F.col("ne")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+ORACLE_IVF_TOPK = f"""
+WITH assign AS ({ORACLE_IVF_ASSIGN}),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT e.vec_id AS query_id, c.vec_id AS centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_ORACLE_CENT_COS} DESC, c.vec_id) AS prn
+    FROM embeddings e
+    JOIN embeddings c ON c.vec_id % {CENTROID_STEP} = 0
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE prn <= {N_PROBE}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[]))))
+           AS cosine
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings n ON n.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {IVF_TOP_K}
+"""
+
+
 ORACLE_EMBED_NEARDUP = f"""
 WITH b AS ({ORACLE_EMBED_ANN_BUCKETS}),
 cand AS (

@@ -73,6 +73,26 @@ def test_embed_neardup(spark, con):
     assert rows, "bucketed near-similar pairs must exist at the 0.3 gate"
 
 
+def test_ivf_assign(spark, con):
+    rows = _match(spark, con, S.ivf_assign, S.ORACLE_IVF_ASSIGN)
+    assert len(rows) == 500
+    cents = {r[1] for r in rows}
+    assert all(c % S.CENTROID_STEP == 0 for c in cents)
+    assert len(cents) > 3, "assignment must spread across centroids"
+
+
+def test_ivf_topk(spark, con):
+    rows = _match(spark, con, S.ivf_topk, S.ORACLE_IVF_TOPK)
+    assert len(rows) == S.N_QUERIES * S.IVF_TOP_K
+    # IVF recall sanity: probing 2/10 cells must still recover a good
+    # share of the brute-force top-3 (cells hold cosine-similar vectors)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in S.embed_topk(spark, SF).where("rank <= 3").collect()}
+    ivf = {(r[0], r[2]) for r in rows}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.3, f"IVF recall {recall} too low"
+
+
 def test_corpus_stats(spark, con):
     _match(spark, con, TX.corpus_stats, TX.ORACLE_CORPUS_STATS)
 
