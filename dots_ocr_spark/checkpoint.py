@@ -105,20 +105,43 @@ def run_extraction(
         # 1) output commit: dynamic overwrite replaces exactly these buckets
         out.write.mode("overwrite").partitionBy("bucket") \
             .parquet(_output_path(base))
-        # 2) lineage commit (after the data is durable)
-        lineage = (
-            spark.read.parquet(_output_path(base))
-            .where(F.col("bucket").isin(group))
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum("n_spans").cast("long").alias("n_spans"),
-                F.sum("n_failed").cast("long").alias("n_failed_pages"),
-                F.sum("n_fallback").cast("long").alias("n_fallback_pages"),
+        # 2) lineage commit (after the data is durable). EVERY bucket in
+        # the commit group gets a lineage row — an empty bucket writes no
+        # output partition, so deriving lineage from written partitions
+        # alone would leave it permanently "incomplete" and reprocessed on
+        # every resume (never a no-op on sparse inputs). Left-join the
+        # group domain against the written counts, defaulting to zeros.
+        try:
+            counts = (
+                spark.read.parquet(_output_path(base))
+                .where(F.col("bucket").isin(group))
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_spans").cast("long").alias("n_spans"),
+                    F.sum("n_failed").cast("long").alias("n_failed_pages"),
+                    F.sum("n_fallback").cast("long").alias("n_fallback_pages"),
+                )
             )
+        except Exception:
+            # an all-empty commit group writes no part files at all —
+            # parquet schema inference fails; every bucket gets zeros
+            counts = spark.createDataFrame(
+                [], "bucket int, n_docs long, n_spans long, "
+                    "n_failed_pages long, n_fallback_pages long")
+        group_df = spark.createDataFrame(
+            [(int(b),) for b in group], "bucket int")
+        lineage = (
+            group_df.join(counts, "bucket", "left")
             .select(
-                "bucket", F.lit(run_id).alias("run_id"), "n_docs", "n_spans",
-                "n_failed_pages", "n_fallback_pages",
+                "bucket",
+                F.lit(run_id).alias("run_id"),
+                F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+                F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+                F.coalesce("n_failed_pages", F.lit(0)).cast("long")
+                .alias("n_failed_pages"),
+                F.coalesce("n_fallback_pages", F.lit(0)).cast("long")
+                .alias("n_fallback_pages"),
                 F.lit(time.time()).alias("completed_at_unix"),
             )
         )

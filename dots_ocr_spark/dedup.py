@@ -20,12 +20,23 @@ side stays broadcastable at 100 TB corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_BITS = 60
 N_BANDS = 4
 BAND_BITS = N_BITS // N_BANDS
+
+#: skew guard for LSH candidate generation: buckets holding more than this
+#: many documents are excluded from pair enumeration. A bucket of size k
+#: contributes k(k-1)/2 candidate pairs, so one degenerate bucket (a
+#: near-constant boilerplate cluster on a web corpus) would go quadratic;
+#: the cap bounds any bucket's contribution at CAP²/2 pairs. Members of a
+#: capped bucket still pair through their OTHER band (two independent
+#: bands), and exact-dup clusters were already collapsed to one
+#: representative before banding — the cap only drops pathological
+#: boilerplate clusters, which exact/threshold dedup handles separately.
+MAX_BUCKET_MEMBERS = 64
 
 
 # ---------------------------------------------------------------------------
@@ -126,19 +137,30 @@ GROUP BY band, bucket HAVING count(*) > 1
 # ---------------------------------------------------------------------------
 
 def _shingle_expr():
-    """Distinct word-3-gram shingles of the ``text`` column."""
+    """Distinct word-3-gram shingles of the ``text`` column.
+
+    Docs with fewer than 3 words yield an EMPTY array (they have no
+    3-shingles). The guard matters: ``sequence(0, size-3)`` with size < 3
+    produces a *descending* sequence (e.g. ``[0, -1]``) whose negative
+    index makes ``element_at`` throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT and
+    kill the whole job on any corpus containing a short document. The
+    DuckDB oracles' ``WHERE len(toks) >= 3`` is the same gate.
+    """
     toks = F.split("text", " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-            ),
-        )
-    )
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,6 +215,15 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str,
         .select("doc_id")
     )
     bands = _minhash_bands(spark, sf_dir).join(reps, "doc_id")
+    # skew guard: count bucket occupancy with a window over the SAME key
+    # the self-join shuffles on (co-partitioned — no extra exchange) and
+    # drop degenerate buckets before pair enumeration.
+    bucket_w = Window.partitionBy("band", "bucket")
+    bands = (
+        bands.withColumn("bn", F.count("*").over(bucket_w))
+        .where(F.col("bn") <= MAX_BUCKET_MEMBERS)
+        .drop("bn")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -204,21 +235,9 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str,
     )
 
     d = d0.join(reps, "doc_id")
-    toks = F.split("text", " ")
-    shingles = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ).alias("sh"),
-    ).where(F.size(toks) >= 3)
+    shingles = d.where(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", _shingle_expr().alias("sh"),
+    )
     # verify by joining the (small, distinct) shingle ARRAYS onto each
     # candidate pair and intersecting per pair with the codegen'd
     # array_intersect — an exploded shingle equi-join materializes and
@@ -263,10 +282,16 @@ WITH reps AS (
   SELECT doc_id,
          {_MH_COLS}
   FROM sh WHERE len(shset) >= 1
-), bands AS (
+), bands_all AS (
   SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM sig
   UNION ALL
   SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS bucket FROM sig
+), bands AS (
+  SELECT doc_id, band, bucket
+  FROM (SELECT doc_id, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS bn
+        FROM bands_all)
+  WHERE bn <= {MAX_BUCKET_MEMBERS}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket

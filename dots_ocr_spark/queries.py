@@ -511,19 +511,30 @@ def q_asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "events")
     tagged = e.where(F.col("event_type").isin("click", "error")).select(
         "event_id", "ts", "user_id", "event_type",
-        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
-        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
+    # RANGE frame on the numeric event time, not a ROWS frame: the oracle's
+    # ASOF JOIN requires c.ts < e.ts STRICTLY, and a rows-frame ending at
+    # -1 would still admit a click sharing the error's exact timestamp.
+    # The range bound -1 µs excludes equal-ts rows by construction. The
+    # carried value is a max over (ts_us, event_id, ts) structs — a
+    # map-side-combinable running max with a deterministic tie-break
+    # (latest click, then greatest event_id), no full-partition sort state.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    click_rec = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts_us"), F.col("event_id"), F.col("ts")),
     )
     return (
         tagged
-        .withColumn("prev_click_id", F.last("click_id", ignorenulls=True).over(w))
-        .withColumn("prev_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .withColumn("prev", F.max(click_rec).over(w))
         .where(F.col("event_type") == "error")
+        .withColumn("prev_click_id", F.col("prev.event_id"))
+        .withColumn("prev_click_ts", F.col("prev.ts"))
         # inner as-of semantics: errors with no prior click are dropped —
         # keeps the output NULL-free so value comparison is dtype-stable
         # across engines (nullable ints decay to float64+NaN in pandas)

@@ -90,6 +90,27 @@ def test_rerun_is_noop(spark, docs, tmp_path):
     assert checkpoint.read_output(spark, base).count() == N_DOCS
 
 
+def test_empty_buckets_get_lineage(spark, tmp_path):
+    """A bucket with zero documents must still be marked complete: sparse
+    inputs (few docs, many buckets) would otherwise reprocess the empty
+    buckets on EVERY rerun — resume would never be a no-op (X6)."""
+    few = pipeline.generate_input(spark, 5, partitions=2)
+    base = str(tmp_path / "ckpt-sparse")
+    r1 = checkpoint.run_extraction(
+        spark, few, base, n_buckets=64, buckets_per_commit=32, run_id="s1")
+    assert r1["processed_buckets"] == 64
+    lineage = checkpoint.read_lineage(spark, base)
+    assert lineage.count() == 64          # every bucket has a lineage row
+    assert lineage.where(F.col("n_docs") == 0).count() >= 64 - 5
+    assert int(lineage.agg(F.sum("n_docs")).collect()[0][0]) == 5
+    # rerun: a true no-op with correct accounting
+    r2 = checkpoint.run_extraction(
+        spark, few, base, n_buckets=64, buckets_per_commit=32, run_id="s2")
+    assert r2["processed_buckets"] == 0
+    assert r2["skipped_buckets"] == 64
+    assert checkpoint.read_lineage(spark, base).count() == 64
+
+
 def test_metrics_summary(spark, docs, tmp_path):
     base = str(tmp_path / "ckpt3")
     checkpoint.run_extraction(

@@ -103,6 +103,47 @@ def test_media_decode(spark, con):
     assert all(r[6] == "stub" for r in rows)
 
 
+def test_jaccard_pairs_survive_short_docs(spark, tmp_path):
+    """Docs with < 3 words have no 3-shingles; they must be silently
+    excluded (matching the oracle's len(toks) >= 3 gate), NOT crash the
+    job with INVALID_ARRAY_INDEX_IN_ELEMENT_AT from a descending
+    sequence() bound."""
+    rows = [
+        (1, "one"), (2, "two words"), (3, ""),
+        (4, "alpha beta gamma delta epsilon zeta"),
+        (5, "alpha beta gamma delta epsilon zeta"),
+        (6, "alpha beta gamma delta epsilon eta"),
+    ]
+    d = str(tmp_path / "shortdocs")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+    got = {(r["doc_i"], r["doc_j"]) for r in D.jaccard_pairs(spark, d).collect()}
+    # 4/5 are exact dups (collapsed to rep 4); 4-6 share 3/5 shingles = 0.5
+    assert got == {(4, 6)}
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS "
+              f"SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    exp = {(r[0], r[1]) for r in c.execute(D.ORACLE_JACCARD_PAIRS).fetchall()}
+    assert got == exp
+
+
+def test_jaccard_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
+    """Adversarial near-constant corpus: many near-identical (but not
+    byte-identical) docs land in one LSH bucket. The bucket-size cap must
+    keep candidate enumeration sub-quadratic instead of emitting k²/2
+    pairs from the degenerate bucket."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{base} tail{i}") for i in range(300)]
+    d = str(tmp_path / "skewdocs")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+    n = D.jaccard_pairs(spark, d).count()
+    # uncapped this corpus yields ~300*299/2 ≈ 45k candidate pairs; the
+    # cap bounds any single bucket's contribution at CAP²/2
+    cap = D.MAX_BUCKET_MEMBERS
+    assert n <= 2 * cap * (cap - 1) // 2, f"bucket cap ineffective: {n} pairs"
+
+
 def test_ann_recall_vs_bruteforce(spark):
     """The banded LSH must actually find near pairs: a query and its
     brute-force top-1 neighbor are candidates when they share a bucket in
