@@ -25,57 +25,162 @@ from . import dedup as D
 from . import pipeline
 from . import similarity as S
 from . import textops as TX
-from .sources.ingest import interleaved_from_text
-
-# number of synthetic interleaved docs per sf for the extraction queries
-# (scale-proportional: sf0.01 → 1000 docs, sf0.1 → 10000). Sized so the
-# sf0.1 bench run is long enough to measure steady-state throughput
-# rather than fixed job overhead.
-EXTRACT_DOCS_PER_SF = 100_000
+from .sources import ingest
+from .sources.ingest import interleaved_from_text, interleaved_multipage
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _sf_of(sf_dir: str) -> float:
-    import re
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    return float(m.group(1)) if m else 0.01
-
-
-def _n_extract_docs(sf_dir: str) -> int:
-    return max(50, int(EXTRACT_DOCS_PER_SF * _sf_of(sf_dir)))
-
-
 # ---------------------------------------------------------------------------
-# extraction pipeline (north-star; golden-tested, rows-only for the driver)
+# extraction pipeline (north-star; value-oracled end to end)
 # ---------------------------------------------------------------------------
 
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: synthetic interleaved docs → ordered spans, exploded to
-    one row per span (deterministic; pytest golden-gates the values)."""
-    docs = pipeline.generate_input(spark, _n_extract_docs(sf_dir))
+    """Flagship: the documents corpus ingested as MULTI-PAGE interleaved
+    docs (Picture cells, corrupted-payload fallbacks, failed pages — see
+    ``sources.ingest.interleaved_multipage``) → the full extraction
+    pipeline (parse/repair → validate → remap → IoU → XY-cut → render →
+    assemble) → one row per ordered span. The input construction is
+    md5-deterministic, so the driver's DuckDB oracle value-checks the
+    END-TO-END pipeline including the repair and failure paths."""
+    docs = interleaved_multipage(_read(spark, sf_dir, "documents"))
     out = pipeline.extract(docs)
     return out.select(
         "doc_id", F.explode("spans").alias("s")
     ).select(
         "doc_id",
-        F.col("s.offset").alias("offset"),
+        F.col("s.offset").cast("long").alias("offset"),
         F.col("s.kind").alias("kind"),
         F.md5(F.coalesce(F.col("s.text"), F.col("s.media_ref"), F.lit(""))).alias("content_md5"),
     )
 
 
 def q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document-level extraction summary (status counters + markdown md5)."""
-    docs = pipeline.generate_input(spark, _n_extract_docs(sf_dir))
+    """Document-level extraction summary over the same multi-page
+    interleaved input: page counters, fail-threshold status, markdown
+    md5s (A2/A4/F9 semantics, dotsocr_service.py:430-515)."""
+    docs = interleaved_multipage(_read(spark, sf_dir, "documents"))
     out = pipeline.extract(docs)
     return out.select(
-        "doc_id", "n_pages", "n_failed", "n_fallback", "n_spans", "status",
+        "doc_id",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        F.col("n_fallback").cast("long").alias("n_fallback"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "status",
         F.md5("markdown").alias("markdown_md5"),
         F.md5("markdown_nohf").alias("markdown_nohf_md5"),
     )
+
+
+def _mp_base_ctes() -> str:
+    """Shared DuckDB CTEs mirroring ``interleaved_multipage``: chunking,
+    pagination, and the md5 page-status / picture draws. Every constant is
+    read from the ingest module so the two sides cannot drift."""
+    cw = ingest.MP_CHUNK_WORDS
+    cpp = ingest.MP_CHUNKS_PER_PAGE
+    x1, y1, x2, y2 = ingest.MP_PIC_BBOX
+    return f"""
+t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(ceil(n / {cw}.0) AS INT) AS n_chunks,
+         [array_to_string(toks[(i*{cw}+1):least((i+1)*{cw}, n)], ' ')
+          FOR i IN range(0, CAST(ceil(n / {cw}.0) AS INT))] AS chunks
+  FROM t
+), pg AS (
+  SELECT doc_id, n_chunks,
+         CAST(ceil(n_chunks / {cpp}.0) AS INT) AS n_pages,
+         unnest(range(0, CAST(ceil(n_chunks / {cpp}.0) AS INT))) AS page_no,
+         chunks
+  FROM c
+), ps AS (
+  SELECT doc_id, n_pages, page_no,
+         chunks[(page_no*{cpp}+1):least((page_no+1)*{cpp}, n_chunks)] AS pchunks,
+         CASE
+           WHEN CAST(('0x' || substring(md5(doc_id || ':st:' || page_no), 1, 2)) AS INT)
+                < {ingest.MP_FAILED_BELOW} THEN 'failed'
+           WHEN CAST(('0x' || substring(md5(doc_id || ':st:' || page_no), 1, 2)) AS INT)
+                < {ingest.MP_FALLBACK_BELOW} THEN 'fallback'
+           ELSE 'ok'
+         END AS pstatus,
+         CAST(('0x' || substring(md5(doc_id || ':pic:' || page_no), 1, 1)) AS INT)
+           < {ingest.MP_PIC_BELOW} AS has_pic,
+         'crop-' || substring(
+           md5(doc_id || ':' || page_no || ':{x1},{y1},{x2},{y2}'), 1, 16)
+           AS pic_ref
+  FROM pg
+)"""
+
+
+ORACLE_EXTRACT_SPANS = f"""
+WITH {_mp_base_ctes()},
+pspans AS (
+  SELECT doc_id, page_no,
+         CASE WHEN pstatus = 'failed'
+              THEN []::STRUCT(kind VARCHAR, content VARCHAR)[]
+              WHEN pstatus = 'fallback'
+              THEN [{{'kind': 'text',
+                      'content': array_to_string(pchunks, chr(10)||chr(10))}}]
+              ELSE list_concat(
+                [{{'kind': 'text', 'content': ch}} FOR ch IN pchunks],
+                CASE WHEN has_pic
+                     THEN [{{'kind': 'picture', 'content': pic_ref}}]
+                     ELSE []::STRUCT(kind VARCHAR, content VARCHAR)[] END)
+         END AS spans
+  FROM ps
+), ex AS (
+  SELECT doc_id, page_no,
+         unnest([{{'j': j, 's': spans[j]}} FOR j IN range(1, len(spans)+1)]) AS u
+  FROM pspans
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY page_no, u.j) - 1
+            AS BIGINT) AS "offset",
+       u.s.kind AS kind,
+       md5(u.s.content) AS content_md5
+FROM ex
+"""
+
+
+ORACLE_EXTRACT_DOCS = f"""
+WITH {_mp_base_ctes()},
+pmd AS (
+  SELECT doc_id, n_pages, page_no, pstatus,
+         CASE WHEN pstatus = 'failed' THEN 0
+              WHEN pstatus = 'fallback' THEN 1
+              ELSE len(pchunks) + CASE WHEN has_pic THEN 1 ELSE 0 END
+         END AS pn_spans,
+         CASE WHEN pstatus = 'failed' THEN ''
+              WHEN pstatus = 'fallback'
+              THEN array_to_string(pchunks, chr(10)||chr(10)) || chr(10)||chr(10)
+              ELSE array_to_string(pchunks, chr(10)||chr(10))
+                   || CASE WHEN has_pic THEN chr(10)||chr(10) ELSE '' END
+                   || chr(10)||chr(10)
+         END AS pmd_term
+  FROM ps
+)
+SELECT doc_id,
+       CAST(max(n_pages) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN pstatus = 'failed' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_failed,
+       CAST(sum(CASE WHEN pstatus = 'fallback' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fallback,
+       CAST(sum(pn_spans) AS BIGINT) AS n_spans,
+       CASE WHEN sum(CASE WHEN pstatus = 'failed' THEN 1 ELSE 0 END) * 10
+                 > max(n_pages)
+            THEN 'failed' ELSE 'ok' END AS status,
+       md5(string_agg(pmd_term, '' ORDER BY page_no)) AS markdown_md5,
+       md5(string_agg(pmd_term, '' ORDER BY page_no)) AS markdown_nohf_md5
+FROM pmd
+GROUP BY doc_id
+"""
 
 
 def q_extract_from_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,6 +776,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "extract_spans": ORACLE_EXTRACT_SPANS,
+    "extract_docs": ORACLE_EXTRACT_DOCS,
     "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
     "token_stats": ORACLE_TOKEN_STATS,
     "fingerprint": ORACLE_FINGERPRINT,

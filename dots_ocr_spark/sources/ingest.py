@@ -17,6 +17,24 @@ PAGE_W, PAGE_H = 1700, 2200
 CHUNK_WORDS = 40
 BLOCK_H, BLOCK_GAP, BODY_TOP = 100, 20, 150
 
+# ---- multi-page generator knobs (interleaved_multipage) -------------------
+#: words per Text block in the multi-page shape (small so the 10-100-word
+#: synthetic docs actually paginate into several pages)
+MP_CHUNK_WORDS = 10
+#: Text blocks per page
+MP_CHUNKS_PER_PAGE = 2
+#: fixed Picture-cell bbox — below every Text block, so XY-cut orders it
+#: last on the page; fixed coords keep the crop identity SQL-derivable
+MP_PIC_BBOX = (100, 1900, 500, 2100)
+#: page-status draw thresholds out of 256 (first byte of
+#: md5(doc_id || ':st:' || page_no)): < FAILED ⇒ structurally illegal
+#: payload (page fails), < FALLBACK ⇒ corrupted payload (repair chain
+#: recovers the cells, page degrades to one whole-page Text cell)
+MP_FAILED_BELOW = 16
+MP_FALLBACK_BELOW = 48
+#: picture draw: first hex nibble of md5(doc_id || ':pic:' || page_no) < 8
+MP_PIC_BELOW = 8
+
 
 def _cells_expr(words: Column) -> Column:
     """array<struct<bbox,category,text>> from a word array: one Text block
@@ -79,5 +97,123 @@ def interleaved_from_text(docs: DataFrame, doc_id_col: str = "doc_id",
         spans.alias("spans"),
         pages.alias("pages"),
         F.lit(1).alias("n_pages"),
+        F.lit("normal").alias("size_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-page interleaved generator (flagship driver-oracle input)
+# ---------------------------------------------------------------------------
+
+_EMPTY_SPANS = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def _hex_draw(did: Column, salt: str, p: Column, n_chars: int) -> Column:
+    """Deterministic integer draw from the first ``n_chars`` hex chars of
+    ``md5(doc_id || salt || page_no)`` — the same value DuckDB computes
+    with ``CAST(('0x' || substring(md5(...), 1, n)) AS INT)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(did, F.lit(salt), p.cast("string"))),
+                    1, n_chars),
+        16, 10,
+    ).cast("int")
+
+
+def interleaved_multipage(docs: DataFrame, doc_id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Flat (doc_id, text) corpus → a MULTI-PAGE interleaved input table
+    that exercises the full extraction pipeline — pagination, Picture
+    cells with derivable crop identities, a deterministic
+    corrupted-payload subset (repaired by the C1-C5 chain into a
+    whole-page fallback cell), and a deterministic structurally-illegal
+    subset (page failure + doc fail-threshold accounting) — while staying
+    100% JVM expressions AND fully SQL-derivable, so the driver's DuckDB
+    oracle can value-check the END-TO-END pipeline output.
+
+    Shape per document (everything keyed on md5 draws shared with the
+    oracle SQL):
+
+      * words → ``MP_CHUNK_WORDS``-word Text blocks → pages of
+        ``MP_CHUNKS_PER_PAGE`` blocks (10-100-word docs ⇒ 1-5 pages);
+      * page-status draw: ~6% of pages get ``[{"bbox": [0, 0, 10, 10]}]``
+        (missing category ⇒ F1 validation fails the page, exercising the
+        fail-threshold path of dotsocr_service.py:430-515); ~12% get the
+        valid payload corrupted by dropping the closing ``]`` and
+        appending a truncated object — the C2 truncation + C4 re-wrap
+        chain (output_cleaner.py:188-269) recovers every cell and the
+        page degrades to one whole-page Text cell (fallback status);
+      * picture draw: ~half the pages append a Picture cell at
+        ``MP_PIC_BBOX`` (below all text ⇒ XY-cut orders it last); its
+        span carries the P7 crop identity
+        ``crop-<md5(doc:page:x1,y1,x2,y2)[:16]>`` (ocr_task.py:150-155).
+    """
+    did = F.col(doc_id_col).cast("string")
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(MP_CHUNK_WORDS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * MP_CHUNK_WORDS + 1, MP_CHUNK_WORDS), " "),
+    )
+    n_pages = F.ceil(n_chunks / F.lit(MP_CHUNKS_PER_PAGE)).cast("int")
+
+    x1, y1, x2, y2 = MP_PIC_BBOX
+    pic_cell = F.struct(
+        F.array(F.lit(x1), F.lit(y1), F.lit(x2), F.lit(y2)).alias("bbox"),
+        F.lit("Picture").alias("category"),
+        F.lit(None).cast("string").alias("text"),
+    )
+
+    def _page(chunks_col: Column, did_col: Column):
+        def build(p: Column) -> Column:
+            pchunks = F.slice(
+                chunks_col, p * MP_CHUNKS_PER_PAGE + 1, MP_CHUNKS_PER_PAGE)
+            text_cells = F.transform(
+                pchunks,
+                lambda ch, j: F.struct(
+                    F.array(
+                        F.lit(100),
+                        F.lit(BODY_TOP) + j * (BLOCK_H + BLOCK_GAP),
+                        F.lit(PAGE_W - 100),
+                        F.lit(BODY_TOP) + j * (BLOCK_H + BLOCK_GAP) + BLOCK_H,
+                    ).alias("bbox"),
+                    F.lit("Text").alias("category"),
+                    ch.alias("text"),
+                ),
+            )
+            has_pic = _hex_draw(did_col, ":pic:", p, 1) < MP_PIC_BELOW
+            cells = F.when(
+                has_pic, F.concat(text_cells, F.array(pic_cell))
+            ).otherwise(text_cells)
+            base = F.to_json(cells)
+            sv = _hex_draw(did_col, ":st:", p, 2)
+            payload = (
+                F.when(sv < MP_FAILED_BELOW,
+                       F.lit('[{"bbox": [0, 0, 10, 10]}]'))
+                .when(sv < MP_FALLBACK_BELOW,
+                      F.concat(base.substr(F.lit(1), F.length(base) - 1),
+                               F.lit(',{"bbox": [')))
+                .otherwise(base)
+            )
+            return F.struct(
+                p.cast("int").alias("page_no"),
+                F.lit(PAGE_W).alias("width"),
+                F.lit(PAGE_H).alias("height"),
+                F.lit(1.0).alias("scale_factor"),
+                payload.alias("payload"),
+                F.lit(None).cast("string").alias("toc_json"),
+            )
+
+        return build
+
+    pages = F.transform(
+        F.sequence(F.lit(0), n_pages - 1), _page(chunks, did))
+    return docs.select(
+        did.alias("doc_id"),
+        F.array().cast(_EMPTY_SPANS).alias("spans"),
+        pages.alias("pages"),
+        n_pages.alias("n_pages"),
         F.lit("normal").alias("size_class"),
     )

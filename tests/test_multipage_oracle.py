@@ -1,0 +1,67 @@
+"""Engine-parity gate for the flagship driver queries: the multi-page
+interleaved generator + full extraction pipeline must value-match the
+DuckDB oracle (the same compare the grading driver runs), and all three
+physical modes must agree on the multi-page input."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from dots_ocr_spark import pipeline
+from dots_ocr_spark import queries as Q
+from dots_ocr_spark.sources.ingest import interleaved_multipage
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return c
+
+
+def _match(spark, con, fn, sql):
+    got = {tuple(r) for r in fn(spark, SF).collect()}
+    exp = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == exp, (
+        f"{len(got)} spark rows vs {len(exp)} oracle rows; "
+        f"spark-only={sorted(got - exp)[:2]} oracle-only={sorted(exp - got)[:2]}"
+    )
+    return got
+
+
+def test_extract_spans_matches_oracle(spark, con):
+    rows = _match(spark, con, Q.q_extract_spans, Q.ORACLE_EXTRACT_SPANS)
+    kinds = {r[2] for r in rows}
+    assert kinds == {"text", "picture"}, kinds
+
+
+def test_extract_docs_matches_oracle(spark, con):
+    rows = _match(spark, con, Q.q_extract_docs, Q.ORACLE_EXTRACT_DOCS)
+    assert len(rows) == 500
+    # the corpus draw rates must actually exercise every path
+    assert sum(r[2] for r in rows) > 0, "no failed pages generated"
+    assert sum(r[3] for r in rows) > 0, "no fallback pages generated"
+    assert {r[5] for r in rows} == {"ok", "failed"}
+    # multi-page docs exist (the whole point of this generator)
+    assert max(r[1] for r in rows) >= 3
+
+
+@pytest.mark.parametrize("mode", ["paged", "scatter"])
+def test_multipage_modes_agree(spark, mode):
+    """The three physical strategies must produce identical documents on
+    the multi-page corpus input (fused is the baseline)."""
+    docs = interleaved_multipage(
+        spark.read.parquet(f"{SF}/documents.parquet").limit(120))
+
+    def fingerprint(df):
+        rows = df.select(
+            "doc_id", "n_spans", "status", F.md5("markdown").alias("m")
+        ).collect()
+        return {r["doc_id"]: (r["n_spans"], r["status"], r["m"]) for r in rows}
+
+    assert fingerprint(pipeline.extract(docs, mode=mode)) == \
+        fingerprint(pipeline.extract(docs, mode="fused"))
