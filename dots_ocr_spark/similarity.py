@@ -26,9 +26,27 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DIM = 64
-N_PLANES = 8
 N_QUERIES = 10
 TOP_K = 5
+
+#: banded sign-LSH shape: BITS_PER_TABLE hyperplane sign bits per table
+#: (2^12 = 4096 buckets/table), N_TABLES independent tables for recall.
+#: Bits must scale ~log2(corpus/target_bucket_size) — 2-bit tables would
+#: put n/4 vectors in every bucket and make candidate generation
+#: quadratic. 12 bits × 8 tables gives ~74% recall on true near-dups
+#: (cosine ≥ 0.95 ⇒ per-bit agreement p ≈ 1 - θ/π ≈ 0.86, table hit
+#: p^12 ≈ 0.15, 1-(1-0.15)^8 ≈ 0.74 — verified by the planted-dup recall
+#: test); vectors at cosine ≤ 0.5 almost never collide, which is the
+#: precision the bucket join needs at 10^9 rows.
+BITS_PER_TABLE = 12
+N_TABLES = 8
+N_PLANES = N_TABLES * BITS_PER_TABLE
+
+#: skew guard (same rationale as dedup.MAX_BUCKET_MEMBERS): buckets
+#: holding more vectors than this are dropped from pair enumeration so a
+#: degenerate bucket (e.g. a zero/constant-embedding cluster) cannot go
+#: quadratic. Members still pair through the other N_TABLES-1 tables.
+MAX_BUCKET_MEMBERS = 64
 
 
 def _plane_component(p: int, d: int) -> float:
@@ -97,8 +115,7 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-N_TABLES = 4
-PLANES_PER_TABLE = N_PLANES // N_TABLES
+PLANES_PER_TABLE = BITS_PER_TABLE  # back-compat alias
 
 
 def _sign_bit(p: int):
@@ -108,20 +125,23 @@ def _sign_bit(p: int):
 
 
 def _table_bucket_expr(t: int):
-    """Bucket id within LSH table t (PLANES_PER_TABLE sign bits)."""
+    """Bucket id within LSH table t (BITS_PER_TABLE sign bits)."""
     bucket = F.lit(0).cast("long")
-    for i in range(PLANES_PER_TABLE):
-        p = t * PLANES_PER_TABLE + i
+    for i in range(BITS_PER_TABLE):
+        p = t * BITS_PER_TABLE + i
         bucket = bucket + _sign_bit(p).cast("long") * F.lit(1 << i)
     return bucket
 
 
 def embed_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, lsh_table, bucket) — banded sign-LSH: N_TABLES tables of
-    PLANES_PER_TABLE hyperplanes each. A single H-bit code has ~p^H
-    recall for moderate-similarity neighbors (p = 1 - θ/π per bit); with
-    B bands of r bits recall is 1-(1-p^r)^B — the same trade minhash-LSH
-    banding makes. Candidates = same (lsh_table, bucket)."""
+    BITS_PER_TABLE hyperplanes each. A single H-bit code has ~p^H
+    recall for near-neighbors (p = 1 - θ/π per bit); with B bands of r
+    bits recall is 1-(1-p^r)^B — the same trade minhash-LSH banding
+    makes. Candidates = same (lsh_table, bucket). One projection per
+    vector, all JVM expressions; the 2^12-bucket space keeps expected
+    bucket occupancy at n/4096 per table so the candidate join stays
+    near-linear, and the MAX_BUCKET_MEMBERS cap bounds the worst case."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.select(
         "vec_id",
@@ -141,8 +161,8 @@ def _oracle_sign_bit_sql(p: int) -> str:
 
 def _oracle_table_bucket_sql(t: int) -> str:
     return " + ".join(
-        f"{_oracle_sign_bit_sql(t * PLANES_PER_TABLE + i)} * {1 << i}"
-        for i in range(PLANES_PER_TABLE)
+        f"{_oracle_sign_bit_sql(t * BITS_PER_TABLE + i)} * {1 << i}"
+        for i in range(BITS_PER_TABLE)
     )
 
 
@@ -157,13 +177,22 @@ ORACLE_EMBED_ANN_BUCKETS = f"""
 
 def embed_neardup_pairs(spark: SparkSession, sf_dir: str,
                         threshold: float = 0.3) -> DataFrame:
-    """Near-similar vector pairs: banded-LSH candidates (bucket mates in
-    ANY table, deduplicated) verified by exact cosine >= threshold.
-    Threshold 0.3 ~ the top percentile of this synthetic corpus (its max
-    pairwise cosine is 0.48 — no true duplicates exist by construction,
-    so the gate sits where candidates actually are)."""
+    """Near-duplicate vector pairs: banded-LSH candidates (bucket mates
+    in ANY table, deduplicated, degenerate buckets capped) verified by
+    exact cosine >= threshold. On a corpus WITHOUT true near-duplicates
+    (this synthetic one maxes at pairwise cosine 0.48) a well-tuned
+    12-bit LSH correctly proposes (almost) nothing — that precision is
+    the point at 10^9 rows; recall on real near-dups (cosine >= 0.95) is
+    demonstrated by the planted-duplicate test in
+    tests/test_dedup_similarity.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     b = embed_ann_buckets(spark, sf_dir)
+    bucket_w = Window.partitionBy("lsh_table", "bucket")
+    b = (
+        b.withColumn("bn", F.count("*").over(bucket_w))
+        .where(F.col("bn") <= MAX_BUCKET_MEMBERS)
+        .drop("bn")
+    )
     cand = (
         b.alias("a").join(b.alias("c"), ["lsh_table", "bucket"])
         .where(F.col("a.vec_id") < F.col("c.vec_id"))
@@ -187,7 +216,14 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str,
 # IVF (inverted-file) ANN — the centroid-bucketed alternative to sign-LSH
 # ---------------------------------------------------------------------------
 
-CENTROID_STEP = 50   # every 50th vector doubles as a coarse centroid
+#: FIXED coarse-quantizer size — independent of corpus size. Centroids =
+#: the first IVF_N_CENTROIDS vectors (a deterministic stand-in for
+#: k-means, which would not be engine-parity testable). A
+#: corpus-proportional centroid set (the old every-50th-vector scheme)
+#: makes assignment O(n²/step) and the centroid broadcast unbounded; a
+#: fixed K keeps assignment O(nK) with a constant-size broadcast — on a
+#: real deployment K ≈ sqrt(n) trained offline, still broadcastable.
+IVF_N_CENTROIDS = 32
 N_PROBE = 2          # query probes its 2 nearest centroids
 IVF_TOP_K = 3
 
@@ -196,25 +232,37 @@ def _cos(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _centroids(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+
+
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF build step: every vector assigned to its nearest centroid by
-    cosine (centroids = the deterministic vec_id % CENTROID_STEP == 0
-    subset — a stand-in for k-means, which would not be engine-parity
-    testable). Relational shape: broadcast the small centroid set, one
-    scan, windowed argmax — the same plan that assigns 10^12 vectors to
-    10^5 centroids with one shuffle on the window key."""
+    cosine. Relational shape: broadcast the fixed-size centroid set, one
+    corpus scan, then a groupBy(vec_id) MAX over (cos, -centroid_id)
+    structs — an ordinary aggregate that partial-aggregates map-side
+    (each task reduces its K candidate rows per vector before the
+    exchange), unlike a row_number window which would shuffle and sort
+    all n×K scored rows. Tie-break = lowest centroid_id, exactly the
+    oracle's ORDER BY cos DESC, centroid_id."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
-    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents)) \
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(_centroids(emb)))
         .select("vec_id", "centroid_id",
                 _cos(F.col("embedding"), F.col("ce")).alias("cos"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", F.col("cos").alias("cosine"))
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(
+            F.col("cos").alias("cos"),
+            (-F.col("centroid_id")).alias("neg_cid"),
+        )).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.neg_cid")).alias("centroid_id"),
+        F.col("m.cos").alias("cosine"),
     )
 
 
@@ -229,7 +277,7 @@ WITH scored AS (
   SELECT e.vec_id, c.vec_id AS centroid_id,
          {_ORACLE_CENT_COS} AS cos
   FROM embeddings e
-  JOIN embeddings c ON c.vec_id % {CENTROID_STEP} = 0
+  JOIN embeddings c ON c.vec_id < {IVF_N_CENTROIDS}
 ), ranked AS (
   SELECT vec_id, centroid_id, cos,
          row_number() OVER (PARTITION BY vec_id
@@ -247,8 +295,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the corpus; the assignment table is the inverted file."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assign = ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
-    cents = emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+    cents = _centroids(emb)
 
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
@@ -289,7 +336,7 @@ probes AS (
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {_ORACLE_CENT_COS} DESC, c.vec_id) AS prn
     FROM embeddings e
-    JOIN embeddings c ON c.vec_id % {CENTROID_STEP} = 0
+    JOIN embeddings c ON c.vec_id < {IVF_N_CENTROIDS}
     WHERE e.vec_id < {N_QUERIES}
   ) WHERE prn <= {N_PROBE}
 ), scored AS (
@@ -314,7 +361,14 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 
 
 ORACLE_EMBED_NEARDUP = f"""
-WITH b AS ({ORACLE_EMBED_ANN_BUCKETS}),
+WITH b_all AS ({ORACLE_EMBED_ANN_BUCKETS}),
+b AS (
+  SELECT vec_id, lsh_table, bucket
+  FROM (SELECT vec_id, lsh_table, bucket,
+               count(*) OVER (PARTITION BY lsh_table, bucket) AS bn
+        FROM b_all)
+  WHERE bn <= {MAX_BUCKET_MEMBERS}
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_i, c.vec_id AS vec_j
   FROM b a JOIN b c ON a.lsh_table = c.lsh_table AND a.bucket = c.bucket

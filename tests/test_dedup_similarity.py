@@ -69,15 +69,18 @@ def test_embed_ann_buckets(spark, con):
 
 
 def test_embed_neardup(spark, con):
-    rows = _match(spark, con, S.embed_neardup_pairs, S.ORACLE_EMBED_NEARDUP)
-    assert rows, "bucketed near-similar pairs must exist at the 0.3 gate"
+    # this corpus has NO true near-duplicates (max pairwise cosine 0.48),
+    # so a precise 12-bit LSH proposes almost nothing — the value compare
+    # vs the oracle is the contract; recall on real near-dups is covered
+    # by test_ann_recall_on_planted_neardups.
+    _match(spark, con, S.embed_neardup_pairs, S.ORACLE_EMBED_NEARDUP)
 
 
 def test_ivf_assign(spark, con):
     rows = _match(spark, con, S.ivf_assign, S.ORACLE_IVF_ASSIGN)
     assert len(rows) == 500
     cents = {r[1] for r in rows}
-    assert all(c % S.CENTROID_STEP == 0 for c in cents)
+    assert all(c < S.IVF_N_CENTROIDS for c in cents)
     assert len(cents) > 3, "assignment must spread across centroids"
 
 
@@ -144,17 +147,40 @@ def test_jaccard_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
     assert n <= 2 * cap * (cap - 1) // 2, f"bucket cap ineffective: {n} pairs"
 
 
-def test_ann_recall_vs_bruteforce(spark):
-    """The banded LSH must actually find near pairs: a query and its
-    brute-force top-1 neighbor are candidates when they share a bucket in
-    ANY table. With 4 tables x 2 planes and this corpus's neighbor
-    cosines (~0.35-0.45 => p~0.63/bit) expected recall is ~0.85."""
-    top1 = {
-        r["query_id"]: r["neighbor_id"]
-        for r in S.embed_topk(spark, SF).where("rank = 1").collect()
+def test_ann_recall_on_planted_neardups(spark, tmp_path):
+    """End-to-end LSH recall on TRUE near-duplicates: plant a perturbed
+    copy (cosine ≈ 0.995) of each of 100 corpus vectors; the banded LSH +
+    cosine verify must recover >= 85% of the planted pairs (theory: p/bit
+    ≈ 0.97 at θ ≈ 5.5° ⇒ table hit 0.97^12 ≈ 0.68 ⇒ 8-table recall ≈
+    1-(1-0.68)^8 ≈ 0.9999; the slack absorbs draw variance)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .orderBy("vec_id").limit(100).collect()
+    rng = np.random.default_rng(7)
+    out = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float32)
+        noise = rng.normal(0.0, 0.1 * float(np.linalg.norm(v)) / np.sqrt(v.size),
+                           v.shape).astype(np.float32)
+        out.append((int(r["vec_id"]), [float(x) for x in v]))
+        out.append((int(r["vec_id"]) + 100_000, [float(x) for x in v + noise]))
+    d = str(tmp_path / "planted")
+    spark.createDataFrame(out, "vec_id long, embedding array<float>") \
+        .write.parquet(f"{d}/embeddings.parquet")
+    found = {
+        (r["vec_i"], r["vec_j"])
+        for r in S.embed_neardup_pairs(spark, d, threshold=0.9).collect()
     }
-    codes: dict[int, set] = {}
-    for r in S.embed_ann_buckets(spark, SF).collect():
-        codes.setdefault(r["vec_id"], set()).add((r["lsh_table"], r["bucket"]))
-    hits = sum(1 for q, n in top1.items() if codes[q] & codes[n])
-    assert hits >= 6, f"banded LSH recall too low: {hits}/{len(top1)}"
+    planted = {(int(r["vec_id"]), int(r["vec_id"]) + 100_000) for r in rows}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.85, f"planted near-dup recall {recall:.2f} too low"
+
+
+def test_ivf_assign_plan_has_no_window_sort(spark):
+    """The n×K scored set must be reduced by a partial-aggregating MAX,
+    never a row_number window (which sorts and shuffles every scored
+    row)."""
+    plan = S.ivf_assign(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan  # centroids broadcast, corpus scanned once
