@@ -196,6 +196,50 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "b.band", "b.bucket")
 
 
+_MH_COLS = ",\n         ".join(
+    f"list_min(list_transform(shset, w -> md5('p{i}:' || w))) AS mh{i}"
+    for i in range(8)
+)
+
+
+def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash-LSH banding over word-3-gram SHINGLES (2 bands
+    × 4 permutations, r=4 ⇒ 50%-recall at j ≈ 0.84): buckets holding >1
+    doc are the near-dup candidate sets that ``jaccard_pairs`` verifies.
+    One aggregation on the band hash — no pair enumeration. This is the
+    variant registered with the driver; the loose word-level banding
+    (queries.q_minhash_band_buckets_word) is kept as a documented demo of
+    the S-curve trade-off."""
+    bands = _minhash_bands(spark, sf_dir)
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_MINHASH_SHINGLE_BANDS = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([
+           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           FOR i IN range(1, len(toks) - 1)
+         ]) AS shset
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM sh WHERE len(shset) >= 1
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || mh1 || mh2 || mh3) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS bucket FROM sig
+)
+SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM bands GROUP BY band, bucket HAVING count(*) > 1
+"""
+
+
 def jaccard_pairs(spark: SparkSession, sf_dir: str,
                   threshold: float = 0.5) -> DataFrame:
     """LSH-verified near-dup pairs: candidate pairs from MinHash band
@@ -261,11 +305,6 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str,
     )
     return out
 
-
-_MH_COLS = ",\n         ".join(
-    f"list_min(list_transform(shset, w -> md5('p{i}:' || w))) AS mh{i}"
-    for i in range(8)
-)
 
 ORACLE_JACCARD_PAIRS = f"""
 WITH reps AS (

@@ -221,6 +221,51 @@ FROM c
 """
 
 
+#: fixed location for the checkpointed-run demo (gitignored scratch);
+#: fixed so the DuckDB oracle can read the lineage table it produces
+METRICS_DEMO_BASE = "/root/repo/spark-warehouse/lineage_demo"
+
+
+def q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 — per-run metrics rollup from the checkpoint LINEAGE table:
+    runs the checkpointed extraction (bucket lineage + dynamic partition
+    overwrite, checkpoint.run_extraction) over the multi-page interleaved
+    corpus into a fixed scratch location, then aggregates the per-bucket
+    lineage rows exactly as the reference rolls up task stats
+    (/root/reference/app/utils/executor/stats.py:22-41). The oracle reads
+    the SAME lineage parquet, independently verifying the rollup."""
+    import shutil
+
+    from . import checkpoint
+
+    shutil.rmtree(METRICS_DEMO_BASE, ignore_errors=True)
+    docs = interleaved_multipage(_read(spark, sf_dir, "documents"))
+    checkpoint.run_extraction(
+        spark, docs, METRICS_DEMO_BASE, n_buckets=16, buckets_per_commit=16,
+        run_id="driver-demo",
+    )
+    return checkpoint.metrics_summary(spark, METRICS_DEMO_BASE).select(
+        "run_id",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_failed_pages").cast("long").alias("n_failed_pages"),
+        F.col("n_fallback_pages").cast("long").alias("n_fallback_pages"),
+    )
+
+
+ORACLE_METRICS_SUMMARY = f"""
+SELECT run_id,
+       count(*) AS n_buckets,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       CAST(sum(n_failed_pages) AS BIGINT) AS n_failed_pages,
+       CAST(sum(n_fallback_pages) AS BIGINT) AS n_fallback_pages
+FROM read_parquet('{METRICS_DEMO_BASE}/_lineage/*.parquet')
+GROUP BY run_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis over the documents corpus
 # ---------------------------------------------------------------------------
@@ -377,10 +422,15 @@ FROM documents
 """
 
 
-def q_minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: bucket docs by (band, banded signature); buckets with
-    >1 doc are near-dup candidates. Shuffle key = the band hash, so
-    candidate generation is one aggregation, no O(n²) compare."""
+def q_minhash_band_buckets_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMO variant — word-level LSH banding (2 permutations per band):
+    bucket docs by (band, banded signature); buckets with >1 doc are
+    near-dup candidates. Word-level min-hashes collide massively on a
+    small-vocabulary corpus (the loose end of the S-curve trade-off);
+    the PRODUCTION variant registered as ``minhash_band_buckets`` bands
+    over 3-gram shingles (dedup.minhash_band_buckets). Shuffle key = the
+    band hash, so candidate generation is one aggregation, no O(n²)
+    compare."""
     sig = q_minhash_signature(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -745,13 +795,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_spans": q_extract_spans,
     "extract_docs": q_extract_docs,
     "extract_from_corpus": q_extract_from_corpus,
+    "metrics_summary": q_metrics_summary,
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
     "langid": q_langid,
     "quality_score": q_quality_score,
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
-    "minhash_band_buckets": q_minhash_band_buckets,
+    "minhash_band_buckets": D.minhash_band_buckets,
+    "minhash_band_buckets_word": q_minhash_band_buckets_word,
     "simhash": D.simhash_signatures,
     "simhash_band_buckets": D.simhash_band_buckets,
     "jaccard_pairs": D.jaccard_pairs,
@@ -779,13 +831,15 @@ ORACLE_SQL: dict[str, str] = {
     "extract_spans": ORACLE_EXTRACT_SPANS,
     "extract_docs": ORACLE_EXTRACT_DOCS,
     "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
+    "metrics_summary": ORACLE_METRICS_SUMMARY,
     "token_stats": ORACLE_TOKEN_STATS,
     "fingerprint": ORACLE_FINGERPRINT,
     "langid": ORACLE_LANGID,
     "quality_score": ORACLE_QUALITY,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "minhash_signature": ORACLE_MINHASH,
-    "minhash_band_buckets": ORACLE_MINHASH_BANDS,
+    "minhash_band_buckets": D.ORACLE_MINHASH_SHINGLE_BANDS,
+    "minhash_band_buckets_word": ORACLE_MINHASH_BANDS,
     "simhash": D.ORACLE_SIMHASH,
     "simhash_band_buckets": D.ORACLE_SIMHASH_BANDS,
     "jaccard_pairs": D.ORACLE_JACCARD_PAIRS,
