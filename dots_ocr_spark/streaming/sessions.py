@@ -102,6 +102,18 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
     ts_all.sort()
     for ts in ts_all:
         us = int(pd.Timestamp(ts).value // 1000)
+        if last_us is not None and us <= last_us:
+            # late-but-within-watermark arrival (a prior micro-batch
+            # already advanced last_us past this event): fold it into the
+            # LIVE session without moving time backwards — last_us going
+            # backwards would both miscount session breaks and make the
+            # event-time timeout regress below the watermark. A late
+            # event never reopens a closed session (the standard
+            # session-window approximation for in-watermark disorder).
+            n_events += 1
+            if first_us is not None and us < first_us:
+                first_us = us
+            continue
         if last_us is not None and us - last_us > SESSION_GAP_S * 1_000_000:
             closed.append((session_id, n_events, first_us, last_us, True))
             session_id += 1
@@ -112,7 +124,12 @@ def _sessionize_group(key, pdf_iter, state: GroupState):
         last_us = us
 
     state.update((session_id, n_events, first_us, last_us))
-    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_S * 1000)
+    # the timeout must never sit at/below the current watermark — Spark
+    # raises (and kills the query) on such a request, which can happen
+    # when this batch delivered only old-but-valid events for this user
+    timeout_ms = last_us // 1000 + SESSION_GAP_S * 1000
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
 
     rows = closed + [(session_id, n_events, first_us, last_us, False)]
     yield pd.DataFrame({

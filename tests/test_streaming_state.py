@@ -53,6 +53,45 @@ def test_window_counts_match_batch_for_closed_windows(spark, events, tmp_path):
     assert not missing, missing
 
 
+def test_sessionize_tolerates_late_in_watermark_events(spark, tmp_path):
+    """A micro-batch delivering an event OLDER than the carried last_ts
+    (late but inside the watermark) must neither move session time
+    backwards nor request an event-time timeout below the watermark
+    (which would kill the query); the late event folds into the live
+    session."""
+    import datetime as dt
+    import time
+
+    from dots_ocr_spark.streaming.sessions import EVENTS_SCHEMA
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    input_dir = str(tmp_path / "in")
+    batch1 = [(1, m(0), 7, "click", 1.0, "{}"),
+              (2, m(10), 7, "click", 1.0, "{}")]
+    batch2 = [(3, m(5), 7, "click", 1.0, "{}"),    # LATE: before last_ts
+              (4, m(20), 7, "click", 1.0, "{}")]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).repartition(1) \
+        .write.mode("append").parquet(input_dir)
+    time.sleep(1.1)  # distinct mod-times => deterministic file order
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).repartition(1) \
+        .write.mode("append").parquet(input_dir)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_sessionize(spark, input_dir, out, ckpt, max_files=1)
+    q.awaitTermination(120)
+
+    res = spark.read.parquet(out).collect()
+    assert res, "stream must emit snapshots, not die on the late batch"
+    live = max((r for r in res if not r["final"]),
+               key=lambda r: (r["session_id"], r["n_events"]))
+    # all 4 events in one session (every gap < 30 min), time monotone
+    assert live["session_id"] == 0
+    assert live["n_events"] == 4
+    assert live["last_ts"] == m(20)
+    assert live["first_ts"] == m(0)
+
+
 def test_stateful_sessionize_matches_batch(spark, events, tmp_path):
     input_dir = str(tmp_path / "in")
     # two landing batches split mid-stream: sessions spanning the split
