@@ -34,6 +34,8 @@ def extract_document(doc: dict, mode: str = "pipeline") -> dict:
     for page in pages:
         toc_json = page.get("toc_json")
         toc = None if toc_json is None else json.loads(toc_json)
+        words_json = page.get("words_json")
+        words = None if words_json is None else json.loads(words_json)
         page_results.append(
             process_page(
                 page["payload"],
@@ -44,6 +46,7 @@ def extract_document(doc: dict, mode: str = "pipeline") -> dict:
                 scale_factor=page.get("scale_factor", 1.0),
                 toc=toc,
                 mode=mode,
+                words=words,
             )
         )
 

@@ -62,15 +62,20 @@ def _parse_pages_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         scales = pdf["scale_factor"].tolist()
         payloads = pdf["payload"].tolist()
         tocs = pdf["toc_json"].tolist()
+        words_col = (pdf["words_json"].tolist() if "words_json" in pdf.columns
+                     else [None] * len(doc_ids))
 
         out = {k: [] for k in
                ("doc_id", "page_no", "status", "md", "md_nohf", "spans", "n_cells")}
-        for doc_id, page_no, w, h, sf, payload, toc_json in zip(
-                doc_ids, page_nos, widths, heights, scales, payloads, tocs):
+        for doc_id, page_no, w, h, sf, payload, toc_json, words_json in zip(
+                doc_ids, page_nos, widths, heights, scales, payloads, tocs,
+                words_col):
             toc = None if toc_json is None else json.loads(toc_json)
+            words = None if words_json is None else json.loads(words_json)
             r = process_page(
                 payload, int(w), int(h), doc_id=doc_id, page_no=int(page_no),
                 scale_factor=float(sf) if sf is not None else 1.0, toc=toc,
+                words=words,
             )
             out["doc_id"].append(doc_id)
             out["page_no"].append(int(page_no))
@@ -195,11 +200,14 @@ def _extract_doc_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                             key=lambda p: p["page_no"]):
                 toc_json = p["toc_json"]
                 toc = None if toc_json is None else json.loads(toc_json)
+                words_json = p.get("words_json")
+                words = None if words_json is None else json.loads(words_json)
                 sf = p["scale_factor"]
                 page_results.append(process_page(
                     p["payload"], int(p["width"]), int(p["height"]),
                     doc_id=doc_id, page_no=int(p["page_no"]),
                     scale_factor=float(sf) if sf is not None else 1.0, toc=toc,
+                    words=words,
                 ))
             out.append(_out_row(assemble_page_results(doc_id, page_results)))
         yield pd.DataFrame(out, columns=_OUT_COLS)
@@ -243,11 +251,13 @@ def _parse_assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     cur_results: list[dict] = []
     for pdf in batches:
         out: list[tuple] = []
-        for doc_id, page_no, w, h, sf, payload, toc_json in zip(
+        words_col = (pdf["words_json"].tolist() if "words_json" in pdf.columns
+                     else [None] * len(pdf))
+        for doc_id, page_no, w, h, sf, payload, toc_json, words_json in zip(
                 pdf["doc_id"].tolist(), pdf["page_no"].tolist(),
                 pdf["width"].tolist(), pdf["height"].tolist(),
                 pdf["scale_factor"].tolist(), pdf["payload"].tolist(),
-                pdf["toc_json"].tolist()):
+                pdf["toc_json"].tolist(), words_col):
             if doc_id != cur_id:
                 if cur_id is not None:
                     out.append(_row(assemble_page_results(cur_id, cur_results)))
@@ -255,9 +265,11 @@ def _parse_assemble_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
             if payload is None:  # explode_outer row: document with no pages
                 continue
             toc = None if toc_json is None else json.loads(toc_json)
+            words = None if words_json is None else json.loads(words_json)
             cur_results.append(process_page(
                 payload, int(w), int(h), doc_id=doc_id, page_no=int(page_no),
                 scale_factor=float(sf) if sf is not None else 1.0, toc=toc,
+                words=words,
             ))
         if out:
             yield pd.DataFrame(out, columns=cols)
@@ -341,7 +353,8 @@ def generate_input(spark: SparkSession, n_docs: int, seed: int = 42,
                 )
                 rows["pages"].append(
                     [(p["page_no"], p["width"], p["height"], p["scale_factor"],
-                      p["payload"], p["toc_json"]) for p in d["pages"]]
+                      p["payload"], p["toc_json"], p.get("words_json"))
+                     for p in d["pages"]]
                 )
                 rows["n_pages"].append(d["n_pages"])
                 rows["size_class"].append(d["size_class"])

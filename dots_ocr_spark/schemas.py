@@ -22,6 +22,10 @@ PAGE = T.StructType([
     T.StructField("scale_factor", T.DoubleType()),
     T.StructField("payload", T.StringType()),
     T.StructField("toc_json", T.StringType()),
+    # optional PDF-space word-box layer (fitz get_text("words") shape,
+    # JSON [[x0,y0,x1,y1,word,block_no,line_no,word_no], ...]) for the
+    # J3 bbox-clip text fill; null when the payload carries cell text
+    T.StructField("words_json", T.StringType()),
 ])
 
 #: the interleaved input table

@@ -90,6 +90,7 @@ def interleaved_from_text(docs: DataFrame, doc_id_col: str = "doc_id",
             F.lit(1.0).alias("scale_factor"),
             F.to_json(cells).alias("payload"),
             F.lit(None).cast("string").alias("toc_json"),
+            F.lit(None).cast("string").alias("words_json"),
         )
     )
     return docs.select(
@@ -204,6 +205,7 @@ def interleaved_multipage(docs: DataFrame, doc_id_col: str = "doc_id",
                 F.lit(1.0).alias("scale_factor"),
                 payload.alias("payload"),
                 F.lit(None).cast("string").alias("toc_json"),
+                F.lit(None).cast("string").alias("words_json"),
             )
 
         return build

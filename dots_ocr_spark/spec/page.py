@@ -30,6 +30,7 @@ import hashlib
 import json
 
 from . import cleaner, geometry, render, toc as toc_mod
+from . import words as words_mod
 from .xycut import reading_order
 
 PICTURE = "Picture"
@@ -86,6 +87,7 @@ def process_page(
     scale_factor: float = 1.0,
     toc=None,
     mode: str = "pipeline",
+    words=None,
 ) -> dict:
     """Run one page through the full extraction pipeline.
 
@@ -99,6 +101,11 @@ def process_page(
         empty page), or a list of {level, text, to} dicts.
       mode: ``pipeline`` (remap + IoU suppression + XY-cut order, the
         rebuild default) or ``vlm`` (payload order trusted, no remap).
+      words: optional PDF-space word-box layer (the fitz
+        ``get_text("words")`` shape) — when present, every wellformed
+        non-Table/Picture/Formula cell's text is filled by rectangle
+        containment at ``bbox / scale_factor`` (J3,
+        ocr_task.py:558-568).
 
     Returns a dict with keys: ``status``, ``cells`` (final order, rescaled),
     ``width``, ``height``, ``md``, ``md_nohf``, ``spans``
@@ -136,6 +143,13 @@ def process_page(
         for c in cells:
             c["category"] = geometry.remap_category(c["category"])
         cells = geometry.exclude_overlap_boxes(cells)
+
+        # 3b. word-grain bbox-clip text fill (J3) ----------------------
+        # only for wellformed payloads: the fallback path's degraded cell
+        # already carries the repaired text (inference.py:235-253) and the
+        # reference's clip runs on detected blocks, not fallbacks.
+        if words is not None and status == "ok":
+            words_mod.fill_cell_texts(cells, words, scale_factor)
 
     # 4. TOC directory rebuild (J1/O5) ----------------------------------
     header_cats = (
