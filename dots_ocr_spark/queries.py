@@ -221,6 +221,67 @@ FROM c
 """
 
 
+#: extension draw for the ingest-gate demo: 5 of 8 pass the F7 gate
+#: (.PDF exercises the lower() rule)
+_EXT_CHOICES = [".pdf", ".PDF", ".jpg", ".jpeg", ".png", ".txt", ".docx", ""]
+
+
+def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 + S5 — the ingest boundary: synthesize a file path per document
+    (md5-drawn extension) and a raw PDF-space TOC destination, then apply
+    the file-format gate (Path.suffix.lower() ∈ {.pdf,.jpg,.jpeg,.png},
+    dotsocr_service.py:587-593), derive the md5 job id
+    (dotsocr_service.py:597-599), and flip the TOC y to top-left origin
+    (pdf_extractor.py:110)."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    ev = (F.conv(F.substring(F.md5(F.concat(F.lit("ext:"), did)), 1, 1),
+                 16, 10).cast("int") % 8)
+    ext = F.element_at(F.array(*[F.lit(e) for e in _EXT_CHOICES]), ev + 1)
+    yraw = (F.conv(F.substring(F.md5(F.concat(F.lit("toc:"), did)), 1, 3),
+                   16, 10).cast("int") % 2200).cast("double")
+    files = d.select(
+        did.alias("doc_id"),
+        F.concat(F.lit("corpus/"), did, ext).alias("path"),
+        yraw.alias("to_y"),
+        F.lit(2200.0).alias("page_height"),
+    )
+    gated = ingest.file_format_gate(files)
+    flipped = ingest.flip_toc_y(gated)
+    return flipped.select(
+        "doc_id", "path", "file_ext",
+        F.concat(F.lit("job-"), F.md5("path")).alias("job_id"),
+        "to_y",
+    )
+
+
+_EXT_LIST_SQL = ", ".join(f"'{e}'" for e in _EXT_CHOICES)
+
+ORACLE_INGEST_GATE = f"""
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'corpus/' || CAST(doc_id AS VARCHAR) ||
+           ([{_EXT_LIST_SQL}])[
+             (CAST(('0x' || substring(md5('ext:' || CAST(doc_id AS VARCHAR)), 1, 1)) AS INT) % 8) + 1
+           ] AS path,
+         CAST(CAST(('0x' || substring(md5('toc:' || CAST(doc_id AS VARCHAR)), 1, 3)) AS INT) % 2200 AS DOUBLE)
+           AS to_y_raw
+  FROM documents
+), g AS (
+  SELECT doc_id, path,
+         lower(regexp_extract(string_split(path, '/')[-1], '.(\\.[^.]*)$', 1))
+           AS file_ext,
+         to_y_raw
+  FROM f
+)
+SELECT doc_id, path, file_ext,
+       'job-' || md5(path) AS job_id,
+       2200.0 - to_y_raw AS to_y
+FROM g
+WHERE file_ext IN ('.pdf', '.jpg', '.jpeg', '.png')
+"""
+
+
 #: fixed location for the checkpointed-run demo (gitignored scratch);
 #: fixed so the DuckDB oracle can read the lineage table it produces
 METRICS_DEMO_BASE = "/root/repo/spark-warehouse/lineage_demo"
@@ -796,6 +857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_docs": q_extract_docs,
     "extract_from_corpus": q_extract_from_corpus,
     "metrics_summary": q_metrics_summary,
+    "ingest_gate": q_ingest_gate,
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
     "langid": q_langid,
@@ -832,6 +894,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_docs": ORACLE_EXTRACT_DOCS,
     "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
     "metrics_summary": ORACLE_METRICS_SUMMARY,
+    "ingest_gate": ORACLE_INGEST_GATE,
     "token_stats": ORACLE_TOKEN_STATS,
     "fingerprint": ORACLE_FINGERPRINT,
     "langid": ORACLE_LANGID,

@@ -103,6 +103,42 @@ def interleaved_from_text(docs: DataFrame, doc_id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# F7 file-format gate + S5 TOC y-flip (the ingest-boundary operators)
+# ---------------------------------------------------------------------------
+
+#: accepted input formats (dotsocr_service.py:587-593)
+SUPPORTED_FORMATS = (".pdf", ".jpg", ".jpeg", ".png")
+
+
+def file_ext_expr(path_col: str) -> Column:
+    """``Path(path).suffix.lower()`` as a JVM expression: the last
+    ``.``-suffix of the final path component, empty for dotless names and
+    leading-dot-only names (``.hidden`` has no suffix). The regex avoids
+    lookbehind so the same pattern runs on RE2 engines (DuckDB oracle)."""
+    base = F.element_at(F.split(F.col(path_col), "/"), -1)
+    return F.lower(F.regexp_extract(base, r".(\.[^.]*)$", 1))
+
+
+def file_format_gate(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """F7 — drop rows whose file extension is not a supported input
+    format (the reference rejects the request with a 400,
+    dotsocr_service.py:587-593; as a table operator the unsupported rows
+    are filtered before any fetch/decode work is scheduled)."""
+    ext = file_ext_expr(path_col)
+    return df.withColumn("file_ext", ext).where(
+        F.col("file_ext").isin(*SUPPORTED_FORMATS))
+
+
+def flip_toc_y(toc_df: DataFrame, y_col: str = "to_y",
+               height_col: str = "page_height") -> DataFrame:
+    """S5 — PDF coordinates are bottom-left-origin; layout space is
+    top-left-origin: ``y → page_height − y`` for every TOC destination
+    (pdf_extractor.py:110). Pure column arithmetic at ingest, before the
+    TOC is grouped per page and joined to the extraction input."""
+    return toc_df.withColumn(y_col, F.col(height_col) - F.col(y_col))
+
+
+# ---------------------------------------------------------------------------
 # multi-page interleaved generator (flagship driver-oracle input)
 # ---------------------------------------------------------------------------
 
