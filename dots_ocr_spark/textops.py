@@ -22,11 +22,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-try:  # real decoder path — not available in this container
+try:  # real decoder path — import-gated (not shipped in this container)
     import PIL.Image  # noqa: F401
-    _HAVE_PIL = True
+    HAVE_PIL = True
 except Exception:
-    _HAVE_PIL = False
+    HAVE_PIL = False
 
 
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,33 +84,66 @@ def _decode_stub(payload: bytes) -> dict:
     }
 
 
-def _decode_real(payload: bytes) -> dict:  # pragma: no cover
-    raise NotImplementedError(
-        "real image decode requires PIL/pyvips — not shipped in this "
-        "container; wire it here and set decoder='pil'")
+def _decode_real(payload: bytes) -> dict:
+    """Real image decode via PIL (runs wherever image libs exist — zero
+    code change, pass ``decoder='pil'``). Mirrors the reference's image
+    normalization: RGBA flattens onto a white background
+    (/root/reference/dots_ocr/utils/image_utils.py:135-142, P6)."""
+    import io
+
+    import PIL.Image
+
+    md5 = hashlib.md5(payload).hexdigest()
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        fmt = (im.format or "unknown").lower()
+        im.load()
+        if im.mode == "RGBA":
+            bg = PIL.Image.new("RGB", im.size, (255, 255, 255))
+            bg.paste(im, mask=im.split()[3])
+            im = bg
+        elif im.mode != "RGB":
+            im = im.convert("RGB")
+        return {
+            "media_md5": md5,
+            "n_bytes": len(payload),
+            "width": im.width,
+            "height": im.height,
+            "fmt": fmt,
+            "decoder": "pil",
+        }
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    decode = _decode_real if _HAVE_PIL else _decode_stub
-    for pdf in batches:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"].tolist(),
-                                   pdf["media_bytes"].tolist()):
-            m = decode(bytes(payload))
-            rows.append((doc_id, m["media_md5"], m["n_bytes"], m["width"],
-                         m["height"], m["fmt"], m["decoder"]))
-        yield pd.DataFrame(rows, columns=[
-            "doc_id", "media_md5", "n_bytes", "width", "height", "fmt",
-            "decoder"])
+def _decode_batches_with(decode):
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"].tolist(),
+                                       pdf["media_bytes"].tolist()):
+                m = decode(bytes(payload))
+                rows.append((doc_id, m["media_md5"], m["n_bytes"], m["width"],
+                             m["height"], m["fmt"], m["decoder"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "media_md5", "n_bytes", "width", "height", "fmt",
+                "decoder"])
+    return _run
 
 
-def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_decode(spark: SparkSession, sf_dir: str,
+                 decoder: str = "stub") -> DataFrame:
     """Binary-column decode pipeline: documents' text bytes stand in for
     image payloads (the corpus ships no real media); the decode stage is
-    a deterministic Arrow-batched mapInPandas over the binary column."""
+    a deterministic Arrow-batched mapInPandas over the binary column.
+
+    ``decoder='pil'`` swaps in the real import-gated PIL path for tables
+    whose binary column holds actual image bytes — the plumbing (schema,
+    batching, UDF signature) is identical; only the per-payload body
+    changes. The stub default keeps this oracle-checkable on a corpus
+    without real media."""
+    decode = _decode_real if decoder == "pil" else _decode_stub
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = d.select("doc_id", F.encode("text", "UTF-8").alias("media_bytes"))
-    return media.mapInPandas(_decode_batches, schema=MEDIA_META_SCHEMA)
+    return media.mapInPandas(_decode_batches_with(decode),
+                             schema=MEDIA_META_SCHEMA)
 
 
 # the corpus text is ASCII, so byte length == char length and DuckDB can
