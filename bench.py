@@ -88,9 +88,13 @@ def main() -> None:
 
     # Warmup: initialize Python workers / Arrow / codegen on every core so
     # timings measure steady-state throughput, not JVM+worker cold start.
+    # The flagship path is additionally warmed at sf0.001 (500 docs) so
+    # its first timed run is not dominated by whole-stage-codegen compile.
     from dots_ocr_spark import pipeline as _p
 
     _p.extract(_p.generate_input(spark, 64)).count()
+    if "extract_spans" in qs:
+        qs["extract_spans"](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

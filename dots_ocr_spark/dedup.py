@@ -139,28 +139,29 @@ GROUP BY band, bucket HAVING count(*) > 1
 def _shingle_expr():
     """Distinct word-3-gram shingles of the ``text`` column.
 
-    Docs with fewer than 3 words yield an EMPTY array (they have no
-    3-shingles). The guard matters: ``sequence(0, size-3)`` with size < 3
-    produces a *descending* sequence (e.g. ``[0, -1]``) whose negative
-    index makes ``element_at`` throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT and
-    kill the whole job on any corpus containing a short document. The
-    DuckDB oracles' ``WHERE len(toks) >= 3`` is the same gate.
+    Shape matters twice here:
+
+    * Docs with fewer than 3 words yield an EMPTY array (no 3-shingles)
+      — the zip-of-shifted-slices construction cannot index out of
+      bounds, unlike a ``sequence(0, size-3)`` + ``element_at`` form
+      whose descending sequence threw on short documents. The DuckDB
+      oracles' ``WHERE len(toks) >= 3`` is the same gate.
+    * Every lambda references ONLY its lambda variable. Higher-order
+      functions are interpreted, and a lambda body that mentions an
+      outer expression (``element_at(split(text), i+k)``) re-evaluates
+      that whole subtree per element — the naive form re-split the text
+      three times per shingle (measured ~8s for 5k docs at sf0.1). Here
+      the token array and its two shifted slices are each evaluated once
+      per row, zipped, and the lambdas just fold struct fields.
     """
     toks = F.split("text", " ")
-    return F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    t3 = F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0)))
+    z = F.arrays_zip(toks.alias("a"), t2.alias("b"), t3.alias("c"))
+    tri = F.filter(z, lambda s: s["c"].isNotNull())
+    return F.array_distinct(
+        F.transform(tri, lambda s: F.concat_ws(" ", s["a"], s["b"], s["c"]))
+    )
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,15 +177,21 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries.q_minhash_band_buckets demonstrates the loose end of the
     trade-off)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = _shingle_expr()
-
-    def _mh(salt: str):
-        return F.array_min(
-            F.transform(F.col("sh"), lambda w: F.md5(F.concat(F.lit(salt), w)))
-        )
-
-    sig = d.select("doc_id", sh.alias("sh")).where(F.size("sh") >= 1).select(
-        "doc_id", *[_mh(f"p{i}:").alias(f"mh{i}") for i in range(8)])
+    # Explode shingles to rows and take groupBy-partial MINs instead of
+    # array_min(transform(...)) projections: higher-order functions are
+    # interpreted (no whole-stage codegen) AND CollapseProject inlines the
+    # shingle-building subexpression into every consumer, so the
+    # projection form recomputed the shingle array once for the filter
+    # plus once per permutation (9x; measured 9.3s -> 1.4s at sf0.1).
+    # Exploded md5+min are codegen'd and combine map-side, shuffling one
+    # row per document — the shape that survives a 100x corpus.
+    # (min over the multiset == min over the distinct set, so dropping
+    # array_distinct preserves oracle parity.)
+    ex = d.select("doc_id", F.explode(_shingle_expr()).alias("w"))
+    sig = ex.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"p{i}:"), F.col("w")))).alias(f"mh{i}")
+        for i in range(8)
+    ])
     return sig.select(
         "doc_id",
         F.explode(F.array(

