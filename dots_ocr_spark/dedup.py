@@ -116,6 +116,50 @@ def simhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: max simhash bit-distance for the near-dup verdict (60-bit signatures;
+#: 6 bits ≈ 90% bit agreement)
+SIMHASH_MAX_HAMMING = 6
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates = docs sharing any 15-bit band
+    bucket (one shuffle, capped against degenerate buckets), verified by
+    exact Hamming distance over the full 60-bit signatures
+    (bit_count(xor) — codegen'd, only on candidate pairs)."""
+    sig = simhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                (F.expr(f"simhash div {1 << (i * BAND_BITS)}")
+                 % (1 << BAND_BITS)).cast("long").alias("bucket"),
+            )
+            for i in range(N_BANDS)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bucket")
+    bucket_w = Window.partitionBy("band", "bucket")
+    bands = (
+        bands.withColumn("bn", F.count("*").over(bucket_w))
+        .where(F.col("bn") <= MAX_BUCKET_MEMBERS)
+        .drop("bn")
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    return (
+        a.join(c, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("c.doc_id").alias("doc_j"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("c.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
 ORACLE_SIMHASH_BANDS = f"""
 WITH sig AS ({ORACLE_SIMHASH}),
 bands AS (
@@ -129,6 +173,31 @@ bands AS (
 SELECT band, bucket, count(*) AS n_docs, min(first_doc) AS first_doc
 FROM (SELECT band, bucket, doc_id, doc_id AS first_doc FROM bands)
 GROUP BY band, bucket HAVING count(*) > 1
+"""
+
+
+ORACLE_SIMHASH_NEARDUP = f"""
+WITH sig AS ({ORACLE_SIMHASH}),
+bands_all AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, simhash, {i} AS band, "
+    f"CAST((simhash // {1 << (i * BAND_BITS)}) % {1 << BAND_BITS} AS BIGINT) AS bucket "
+    f"FROM sig"
+    for i in range(N_BANDS)
+  )}
+), bands AS (
+  SELECT doc_id, simhash, band, bucket
+  FROM (SELECT doc_id, simhash, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS bn
+        FROM bands_all)
+  WHERE bn <= {MAX_BUCKET_MEMBERS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_i, c.doc_id AS doc_j,
+         CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bucket = c.bucket
+  WHERE a.doc_id < c.doc_id
+)
+SELECT doc_i, doc_j, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -201,6 +270,38 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.md5(F.concat("mh4", "mh5", "mh6", "mh7")).alias("bucket")),
         )).alias("b"),
     ).select("doc_id", "b.band", "b.bucket")
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production dedup flow in one query: exact dedup
+    (keep-first per text hash) → shingle-MinHash LSH candidates → exact
+    Jaccard verify → greedy near-dup drop (a doc is dropped when a
+    SMALLER-id doc is near-identical; ``jaccard_pairs`` always emits
+    doc_i < doc_j, so dropping every doc_j is the standard one-pass
+    rule). Returns the surviving document set — the corpus a training
+    run would actually keep."""
+    d0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = (
+        d0.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    near_j = jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_j").alias("doc_id")).distinct()
+    return (
+        reps.join(near_j, "doc_id", "left_anti")
+        .select("doc_id", "text_md5")
+    )
+
+
+ORACLE_DEDUP_SURVIVORS = f"""
+WITH pairs AS ({{jaccard}}),
+reps AS (
+  SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+  FROM documents GROUP BY md5(text)
+)
+SELECT doc_id, text_md5 FROM reps
+WHERE doc_id NOT IN (SELECT doc_j FROM pairs)
+"""
 
 
 _MH_COLS = ",\n         ".join(
@@ -354,3 +455,7 @@ WHERE CAST(len(list_intersect(si.shset, sj.shset)) AS BIGINT)
       / (CAST(len(si.shset) AS BIGINT) + CAST(len(sj.shset) AS BIGINT)
          - CAST(len(list_intersect(si.shset, sj.shset)) AS BIGINT)) >= 0.5
 """
+
+# the survivors oracle composes the jaccard-pairs oracle (defined above)
+ORACLE_DEDUP_SURVIVORS = ORACLE_DEDUP_SURVIVORS.format(
+    jaccard=ORACLE_JACCARD_PAIRS)

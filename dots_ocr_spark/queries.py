@@ -868,7 +868,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_band_buckets_word": q_minhash_band_buckets_word,
     "simhash": D.simhash_signatures,
     "simhash_band_buckets": D.simhash_band_buckets,
+    "simhash_neardup_pairs": D.simhash_neardup_pairs,
     "jaccard_pairs": D.jaccard_pairs,
+    "dedup_survivors": D.dedup_survivors,
     "embed_topk": S.embed_topk,
     "embed_ann_buckets": S.embed_ann_buckets,
     "embed_neardup_pairs": S.embed_neardup_pairs,
@@ -905,7 +907,9 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_band_buckets_word": ORACLE_MINHASH_BANDS,
     "simhash": D.ORACLE_SIMHASH,
     "simhash_band_buckets": D.ORACLE_SIMHASH_BANDS,
+    "simhash_neardup_pairs": D.ORACLE_SIMHASH_NEARDUP,
     "jaccard_pairs": D.ORACLE_JACCARD_PAIRS,
+    "dedup_survivors": D.ORACLE_DEDUP_SURVIVORS,
     "embed_topk": S.ORACLE_EMBED_TOPK,
     "embed_ann_buckets": S.ORACLE_EMBED_ANN_BUCKETS,
     "embed_neardup_pairs": S.ORACLE_EMBED_NEARDUP,
