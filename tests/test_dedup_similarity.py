@@ -41,6 +41,21 @@ def test_simhash_bands(spark, con):
     assert rows, "band buckets must find candidates in this corpus"
 
 
+def test_simhash_neardup_pairs(spark, con):
+    rows = _match(spark, con, D.simhash_neardup_pairs,
+                  D.ORACLE_SIMHASH_NEARDUP)
+    assert all(0 <= r[2] <= D.SIMHASH_MAX_HAMMING for r in rows)
+
+
+def test_dedup_survivors(spark, con):
+    rows = _match(spark, con, D.dedup_survivors, D.ORACLE_DEDUP_SURVIVORS)
+    # survivors are a subset of the corpus and exclude near-dup doc_j's
+    assert 0 < len(rows) <= 500
+    ids = {r[0] for r in rows}
+    dropped = {r["doc_j"] for r in D.jaccard_pairs(spark, SF).collect()}
+    assert not (ids & dropped)
+
+
 def test_jaccard_pairs(spark, con):
     rows = _match(spark, con, D.jaccard_pairs, D.ORACLE_JACCARD_PAIRS)
     assert rows, "LSH candidates with jaccard >= 0.5 must exist"
