@@ -62,17 +62,45 @@ def fill_cell_texts(cells: list[dict], words: list,
     clipping at ``bbox / scale_factor`` (words live in PDF space, cells in
     image space — ocr_task.py:565).
 
-    Page-level form of :func:`clip_text`: the word layer is sorted by
-    (block, line, word) ONCE per page; selecting from the pre-sorted
-    list preserves order, so the per-cell sort disappears. (A numpy
-    mask variant was measured SLOWER at typical page sizes — ~200 words
-    — where array construction overhead exceeds the loop saved.)"""
+    Page-level form of :func:`clip_text` with coarse-to-fine spatial
+    pruning: the word layer is sorted by (block, line, word) ONCE per
+    page and grouped into its text blocks with their bounding boxes; a
+    cell then tests ~10 block boxes instead of every word — disjoint
+    blocks are skipped, fully-contained blocks are taken whole, and only
+    boundary-straddling blocks scan word-by-word. Exact: a contained
+    word's block box necessarily intersects the cell, so pruning can
+    never drop a selected word, and block/word order is preserved.
+    (A numpy mask variant was measured slower at typical ~200-word
+    pages, where array construction overhead exceeds the loop saved.)"""
     sw = sorted(words, key=lambda w: (w[5], w[6], w[7]))
+    blocks: list[list] = []  # [bx1, by1, bx2, by2, block_no, [words]]
+    for w in sw:
+        if not blocks or blocks[-1][4] != w[5]:
+            blocks.append([w[0], w[1], w[2], w[3], w[5], [w]])
+        else:
+            b = blocks[-1]
+            if w[0] < b[0]:
+                b[0] = w[0]
+            if w[1] < b[1]:
+                b[1] = w[1]
+            if w[2] > b[2]:
+                b[2] = w[2]
+            if w[3] > b[3]:
+                b[3] = w[3]
+            b[5].append(w)
     for c in cells:
         if c.get("category") in SKIP_CLIP_CATEGORIES:
             continue
         x1, y1, x2, y2 = [v / scale_factor for v in c["bbox"]]
-        c["text"] = _assemble([
-            w for w in sw
-            if w[0] >= x1 and w[1] >= y1 and w[2] <= x2 and w[3] <= y2
-        ])
+        sel: list = []
+        for bx1, by1, bx2, by2, _, ws in blocks:
+            if bx1 > x2 or bx2 < x1 or by1 > y2 or by2 < y1:
+                continue
+            if bx1 >= x1 and by1 >= y1 and bx2 <= x2 and by2 <= y2:
+                sel.extend(ws)
+            else:
+                sel.extend(
+                    w for w in ws
+                    if w[0] >= x1 and w[1] >= y1 and w[2] <= x2 and w[3] <= y2
+                )
+        c["text"] = _assemble(sel)
