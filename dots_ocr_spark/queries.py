@@ -221,6 +221,47 @@ FROM c
 """
 
 
+def q_crop_merge_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — crop-merge extent planning, distributed: per source group,
+    the merged canvas is max(width) × sum(height) and each crop's bottom
+    edge is a running sum in doc_id order (directory_cleaner.py:125-141
+    as agg + running-sum window; crop sizes come from the media_decode
+    stub metadata so the oracle can mirror them)."""
+    d = _read(spark, sf_dir, "documents")
+    w = (64 + F.length("text") % 960).cast("long")
+    h = (64 + (F.length("text") * 7) % 960).cast("long")
+    grp = Window.partitionBy("source")
+    running = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.select("source", "doc_id", w.alias("w"), h.alias("h"))
+        .select(
+            "source", "doc_id",
+            F.sum("h").over(running).cast("long").alias("y_offset"),
+            F.max("w").over(grp).cast("long").alias("merged_width"),
+            F.sum("h").over(grp).cast("long").alias("merged_height"),
+        )
+    )
+
+
+ORACLE_CROP_MERGE = """
+WITH c AS (
+  SELECT source, doc_id,
+         CAST(64 + length(text) % 960 AS BIGINT) AS w,
+         CAST(64 + (length(text) * 7) % 960 AS BIGINT) AS h
+  FROM documents
+)
+SELECT source, doc_id,
+       CAST(sum(h) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS y_offset,
+       CAST(max(w) OVER (PARTITION BY source) AS BIGINT) AS merged_width,
+       CAST(sum(h) OVER (PARTITION BY source) AS BIGINT) AS merged_height
+FROM c
+"""
+
+
 #: extension draw for the ingest-gate demo: 5 of 8 pass the F7 gate
 #: (.PDF exercises the lower() rule)
 _EXT_CHOICES = [".pdf", ".PDF", ".jpg", ".jpeg", ".png", ".txt", ".docx", ""]
@@ -858,6 +899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_from_corpus": q_extract_from_corpus,
     "metrics_summary": q_metrics_summary,
     "ingest_gate": q_ingest_gate,
+    "crop_merge_extents": q_crop_merge_extents,
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
     "langid": q_langid,
@@ -897,6 +939,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
     "metrics_summary": ORACLE_METRICS_SUMMARY,
     "ingest_gate": ORACLE_INGEST_GATE,
+    "crop_merge_extents": ORACLE_CROP_MERGE,
     "token_stats": ORACLE_TOKEN_STATS,
     "fingerprint": ORACLE_FINGERPRINT,
     "langid": ORACLE_LANGID,
