@@ -21,8 +21,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# local-run convenience: `python jobs/run_extract.py` puts jobs/ (not the
+# repo root) on sys.path; on a cluster --py-files provides the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -49,23 +54,31 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     from dots_ocr_spark import checkpoint, pipeline
+    from dots_ocr_spark.tracing import Tracer
 
-    if args.input:
-        docs = spark.read.parquet(args.input)
-    else:
-        docs = pipeline.generate_input(spark, args.synthetic)
+    tracer = Tracer(spark)
+    with tracer.span("run_extract", output=args.output, mode=args.mode):
+        with tracer.span("read_input"):
+            if args.input:
+                docs = spark.read.parquet(args.input)
+            else:
+                docs = pipeline.generate_input(spark, args.synthetic)
 
-    t0 = time.perf_counter()
-    res = checkpoint.run_extraction(
-        spark, docs, args.output,
-        n_buckets=args.buckets,
-        buckets_per_commit=args.buckets_per_commit,
-        mode=args.mode,
-        run_id=args.run_id,
-    )
-    res["wall_sec"] = round(time.perf_counter() - t0, 2)
-    res["metrics"] = [r.asDict() for r in
-                      checkpoint.metrics_summary(spark, args.output).collect()]
+        t0 = time.perf_counter()
+        with tracer.span("extract", buckets=args.buckets):
+            res = checkpoint.run_extraction(
+                spark, docs, args.output,
+                n_buckets=args.buckets,
+                buckets_per_commit=args.buckets_per_commit,
+                mode=args.mode,
+                run_id=args.run_id,
+            )
+        res["wall_sec"] = round(time.perf_counter() - t0, 2)
+        res["metrics"] = [r.asDict() for r in
+                          checkpoint.metrics_summary(spark, args.output).collect()]
+    # span table lands next to the lineage table — the run's trace
+    tracer.write_metrics(f"{args.output}/_trace")
+    res["trace_spans"] = len(tracer.spans)
     print(json.dumps(res, default=str))
     spark.stop()
     return 0
