@@ -26,7 +26,11 @@ from . import pipeline
 from . import similarity as S
 from . import textops as TX
 from .sources import ingest
-from .sources.ingest import interleaved_from_text, interleaved_multipage
+from .sources.ingest import (
+    interleaved_from_text,
+    interleaved_multipage,
+    interleaved_wordgrain,
+)
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -218,6 +222,54 @@ SELECT doc_id, 1 AS n_pages, CAST(n_chunks AS INT) AS n_spans, 'ok' AS status,
        md5(array_to_string(chunks, chr(10)||chr(10)) || chr(10)||chr(10))
          AS markdown_md5
 FROM c
+"""
+
+
+def q_extract_wordgrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 end to end under the value oracle: payload cells carry NO text
+    — only a PDF-space word-box layer — so this output is wrong unless
+    the bbox-clip fill (spec/words) reconstructs every block's text
+    before ordering/rendering. Word layout is a fixed-pitch single line
+    per block, fully inside its cell, so the recovered text equals the
+    chunk text and DuckDB predicts every span and the markdown."""
+    docs = interleaved_wordgrain(_read(spark, sf_dir, "documents"))
+    out = pipeline.extract(docs)
+    return out.select(
+        "doc_id",
+        F.explode("spans").alias("s"),
+        F.md5("markdown").alias("markdown_md5"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.md5(F.col("s.text")).alias("content_md5"),
+        "markdown_md5",
+    )
+
+
+ORACLE_EXTRACT_WORDGRAIN = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         [array_to_string(toks[(i*{ingest.MP_CHUNK_WORDS}+1):least((i+1)*{ingest.MP_CHUNK_WORDS}, n)], ' ')
+          FOR i IN range(0, CAST(ceil(n / {ingest.MP_CHUNK_WORDS}.0) AS INT))] AS chunks
+  FROM t
+), ex AS (
+  SELECT doc_id, chunks,
+         unnest([{{'j': j, 'ch': chunks[j]}} FOR j IN range(1, len(chunks)+1)]) AS u
+  FROM c
+)
+SELECT doc_id,
+       CAST(u.j - 1 AS BIGINT) AS "offset",
+       'text' AS kind,
+       md5(u.ch) AS content_md5,
+       md5(array_to_string(chunks, chr(10)||chr(10)) || chr(10)||chr(10))
+         AS markdown_md5
+FROM ex
 """
 
 
@@ -897,6 +949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_spans": q_extract_spans,
     "extract_docs": q_extract_docs,
     "extract_from_corpus": q_extract_from_corpus,
+    "extract_wordgrain": q_extract_wordgrain,
     "metrics_summary": q_metrics_summary,
     "ingest_gate": q_ingest_gate,
     "crop_merge_extents": q_crop_merge_extents,
@@ -937,6 +990,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_spans": ORACLE_EXTRACT_SPANS,
     "extract_docs": ORACLE_EXTRACT_DOCS,
     "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
+    "extract_wordgrain": ORACLE_EXTRACT_WORDGRAIN,
     "metrics_summary": ORACLE_METRICS_SUMMARY,
     "ingest_gate": ORACLE_INGEST_GATE,
     "crop_merge_extents": ORACLE_CROP_MERGE,

@@ -262,3 +262,73 @@ def interleaved_multipage(docs: DataFrame, doc_id_col: str = "doc_id",
         n_pages.alias("n_pages"),
         F.lit("normal").alias("size_class"),
     )
+
+
+def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Flat corpus → single-page interleaved docs whose Text cells carry
+    NO text in the payload; the text arrives as a PDF-space word-box
+    layer instead (``words_json``), so the extraction must run the J3
+    bbox-clip fill to recover it. 100% JVM expressions and SQL-derivable:
+    each ``MP_CHUNK_WORDS``-word chunk is one block laid out as a single
+    line of fixed-pitch word rectangles inside its cell bbox, so the clip
+    recovers exactly the chunk text and the DuckDB oracle can predict
+    every span. The word entries are JSON objects (to_json of structs);
+    the spec normalizes them to the positional fitz shape."""
+    did = F.col(doc_id_col).cast("string")
+    marked = F.regexp_replace(
+        F.col(text_col),
+        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
+        "$1",
+    )
+    chunks = F.split(marked, "")
+
+    def cell_bbox(j):
+        top = F.lit(BODY_TOP) + j * (BLOCK_H + BLOCK_GAP)
+        return F.array(F.lit(100), top, F.lit(PAGE_W - 100), top + BLOCK_H)
+
+    cells = F.transform(
+        chunks,
+        lambda ch, j: F.struct(
+            cell_bbox(j).alias("bbox"),
+            F.lit("Text").alias("category"),
+            F.lit(None).cast("string").alias("text"),
+        ),
+    )
+    # word rectangles: block j's words on one line at fixed 14px pitch,
+    # 10px wide, vertically inside the block band — always contained in
+    # the cell bbox, so the clip selects exactly the chunk's words
+    words = F.flatten(F.transform(
+        chunks,
+        lambda ch, j: F.transform(
+            F.split(ch, " "),
+            lambda w, i: F.struct(
+                (F.lit(100) + i * 14).alias("x0"),
+                (F.lit(BODY_TOP + 10) + j * (BLOCK_H + BLOCK_GAP)).alias("y0"),
+                (F.lit(110) + i * 14).alias("x1"),
+                (F.lit(BODY_TOP + 30) + j * (BLOCK_H + BLOCK_GAP)).alias("y1"),
+                w.alias("word"),
+                j.alias("block_no"),
+                F.lit(0).alias("line_no"),
+                i.alias("word_no"),
+            ),
+        ),
+    ))
+    pages = F.array(
+        F.struct(
+            F.lit(0).alias("page_no"),
+            F.lit(PAGE_W).alias("width"),
+            F.lit(PAGE_H).alias("height"),
+            F.lit(1.0).alias("scale_factor"),
+            F.to_json(cells).alias("payload"),
+            F.lit(None).cast("string").alias("toc_json"),
+            F.to_json(words).alias("words_json"),
+        )
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.array().cast(_EMPTY_SPANS).alias("spans"),
+        pages.alias("pages"),
+        F.lit(1).alias("n_pages"),
+        F.lit("normal").alias("size_class"),
+    )

@@ -24,6 +24,20 @@ from .textnorm import collapse_single_newlines
 SKIP_CLIP_CATEGORIES = ("Table", "Picture", "Formula")
 
 
+def normalize_words(words: list) -> list:
+    """Accept either the positional fitz shape
+    ``[x0, y0, x1, y1, word, block_no, line_no, word_no]`` or JSON-object
+    entries with those field names (what ``to_json`` of a struct column
+    produces) and return the positional form."""
+    if words and isinstance(words[0], dict):
+        return [
+            [w["x0"], w["y0"], w["x1"], w["y1"],
+             w["word"], w["block_no"], w["line_no"], w["word_no"]]
+            for w in words
+        ]
+    return words
+
+
 def _assemble(sel: list) -> str:
     """Fold (block,line,word)-sorted words into text the way fitz "text"
     output reads: words of a (block, line) join with spaces, lines join
@@ -47,6 +61,7 @@ def clip_text(words: list, bbox: list) -> str:
     Selection = full rectangle containment (the word-grain analog of
     fitz's clip, which keeps characters lying within the clip area).
     """
+    words = normalize_words(words)
     x1, y1, x2, y2 = bbox
     sel = [
         w for w in words
@@ -72,7 +87,7 @@ def fill_cell_texts(cells: list[dict], words: list,
     never drop a selected word, and block/word order is preserved.
     (A numpy mask variant was measured slower at typical ~200-word
     pages, where array construction overhead exceeds the loop saved.)"""
-    sw = sorted(words, key=lambda w: (w[5], w[6], w[7]))
+    sw = sorted(normalize_words(words), key=lambda w: (w[5], w[6], w[7]))
     blocks: list[list] = []  # [bx1, by1, bx2, by2, block_no, [words]]
     for w in sw:
         if not blocks or blocks[-1][4] != w[5]:
