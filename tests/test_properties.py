@@ -125,3 +125,65 @@ def test_reading_order_permutation_invariant(boxes, rnd):
 def test_reading_order_is_a_permutation(boxes):
     order = reading_order(boxes)
     assert sorted(order) == list(range(len(boxes)))
+
+
+# --------------------------------------------------------------------------
+# fill_cell_texts (block-pruned) == clip_text (scalar spec) per cell
+# --------------------------------------------------------------------------
+
+_coord = st.integers(min_value=0, max_value=300)
+
+
+@st.composite
+def _word_layer(draw):
+    n = draw(st.integers(min_value=0, max_value=40))
+    words = []
+    for k in range(n):
+        x0 = draw(_coord)
+        y0 = draw(_coord)
+        words.append([
+            x0, y0,
+            x0 + draw(st.integers(min_value=1, max_value=40)),
+            y0 + draw(st.integers(min_value=1, max_value=20)),
+            draw(st.sampled_from("abcdef")) + str(k),
+            draw(st.integers(min_value=0, max_value=5)),   # block_no
+            draw(st.integers(min_value=0, max_value=3)),   # line_no
+            k,                                             # word_no
+        ])
+    return words
+
+
+@st.composite
+def _cells(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    out = []
+    for _ in range(n):
+        x0 = draw(_coord)
+        y0 = draw(_coord)
+        out.append({
+            "bbox": [x0, y0, x0 + draw(st.integers(min_value=5, max_value=200)),
+                     y0 + draw(st.integers(min_value=5, max_value=200))],
+            "category": draw(st.sampled_from(
+                ["Text", "Title", "Caption", "Table", "Picture"])),
+        })
+    return out
+
+
+@given(_word_layer(), _cells(),
+       st.sampled_from([1.0, 2.0, 200.0 / 72.0]))
+@settings(max_examples=200, deadline=None)
+def test_block_pruned_fill_equals_scalar_clip(words, cells, sf):
+    from dots_ocr_spark.spec.words import (
+        SKIP_CLIP_CATEGORIES,
+        clip_text,
+        fill_cell_texts,
+    )
+
+    filled = [dict(c) for c in cells]
+    fill_cell_texts(filled, words, sf)
+    for before, after in zip(cells, filled):
+        if before["category"] in SKIP_CLIP_CATEGORIES:
+            assert "text" not in after
+        else:
+            expected = clip_text(words, [v / sf for v in before["bbox"]])
+            assert after["text"] == expected
