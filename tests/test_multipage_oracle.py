@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 
 from dots_ocr_spark import pipeline
 from dots_ocr_spark import queries as Q
-from dots_ocr_spark.sources.ingest import interleaved_multipage
+from dots_ocr_spark.sources.ingest import (
+    interleaved_multipage,
+    interleaved_wordgrain,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -50,18 +53,19 @@ def test_extract_docs_matches_oracle(spark, con):
     assert max(r[1] for r in rows) >= 3
 
 
+def _fingerprint(df):
+    rows = df.select(
+        "doc_id", "n_spans", "status", F.md5("markdown").alias("m")
+    ).collect()
+    return {r["doc_id"]: (r["n_spans"], r["status"], r["m"]) for r in rows}
+
+
 @pytest.mark.parametrize("mode", ["paged", "scatter"])
-def test_multipage_modes_agree(spark, mode):
-    """The three physical strategies must produce identical documents on
-    the multi-page corpus input (fused is the baseline)."""
-    docs = interleaved_multipage(
-        spark.read.parquet(f"{SF}/documents.parquet").limit(120))
-
-    def fingerprint(df):
-        rows = df.select(
-            "doc_id", "n_spans", "status", F.md5("markdown").alias("m")
-        ).collect()
-        return {r["doc_id"]: (r["n_spans"], r["status"], r["m"]) for r in rows}
-
-    assert fingerprint(pipeline.extract(docs, mode=mode)) == \
-        fingerprint(pipeline.extract(docs, mode="fused"))
+@pytest.mark.parametrize("gen", [interleaved_multipage, interleaved_wordgrain])
+def test_generated_input_modes_agree(spark, mode, gen):
+    """All three physical strategies must produce identical documents on
+    the generated inputs (fused is the baseline) — including the
+    word-grain shape, whose words_json must survive every plumbing."""
+    docs = gen(spark.read.parquet(f"{SF}/documents.parquet").limit(120))
+    assert _fingerprint(pipeline.extract(docs, mode=mode)) == \
+        _fingerprint(pipeline.extract(docs, mode="fused"))
