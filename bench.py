@@ -93,8 +93,9 @@ def main() -> None:
     from dots_ocr_spark import pipeline as _p
 
     _p.extract(_p.generate_input(spark, 64)).count()
-    if "extract_spans" in qs:
-        qs["extract_spans"](spark, "/root/testdata/sf0.001").count()
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if "extract_spans" in qs and os.path.isdir(warm_sf):
+        qs["extract_spans"](spark, warm_sf).count()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

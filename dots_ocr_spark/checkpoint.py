@@ -38,6 +38,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
 
 from . import pipeline
 
@@ -123,9 +124,13 @@ def run_extraction(
                     F.sum("n_fallback").cast("long").alias("n_fallback_pages"),
                 )
             )
-        except Exception:
-            # an all-empty commit group writes no part files at all —
-            # parquet schema inference fails; every bucket gets zeros
+        except AnalysisException:
+            # an all-empty commit group writes no part files at all, so
+            # parquet schema inference fails (UNABLE_TO_INFER_SCHEMA /
+            # PATH_NOT_FOUND) — every bucket gets zeros. Only analysis
+            # errors mean "no output"; IO errors must surface, otherwise
+            # a transient read failure would silently commit zero-count
+            # lineage and mark unprocessed buckets complete.
             counts = spark.createDataFrame(
                 [], "bucket int, n_docs long, n_spans long, "
                     "n_failed_pages long, n_fallback_pages long")

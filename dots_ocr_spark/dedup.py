@@ -39,6 +39,19 @@ BAND_BITS = N_BITS // N_BANDS
 MAX_BUCKET_MEMBERS = 64
 
 
+def cap_buckets(df: DataFrame, *keys: str) -> DataFrame:
+    """Skew guard shared by every LSH candidate generator: drop rows in
+    buckets holding more than MAX_BUCKET_MEMBERS members. The count is a
+    window over the SAME keys the subsequent self-join shuffles on —
+    co-partitioned, no extra exchange."""
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bn", F.count("*").over(w))
+        .where(F.col("_bn") <= MAX_BUCKET_MEMBERS)
+        .drop("_bn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -138,12 +151,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_BANDS)
         ])).alias("b"),
     ).select("doc_id", "simhash", "b.band", "b.bucket")
-    bucket_w = Window.partitionBy("band", "bucket")
-    bands = (
-        bands.withColumn("bn", F.count("*").over(bucket_w))
-        .where(F.col("bn") <= MAX_BUCKET_MEMBERS)
-        .drop("bn")
-    )
+    bands = cap_buckets(bands, "band", "bucket")
     a, c = bands.alias("a"), bands.alias("c")
     return (
         a.join(c, ["band", "bucket"])
@@ -155,8 +163,12 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.simhash").bitwiseXOR(F.col("c.simhash"))
             ).cast("long").alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is a function of the pair, so
+        # the result is identical but the distinct's exchange only
+        # carries the (few) passing pairs instead of every bucket
+        # collision
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 
@@ -366,16 +378,8 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str,
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    bands = _minhash_bands(spark, sf_dir).join(reps, "doc_id")
-    # skew guard: count bucket occupancy with a window over the SAME key
-    # the self-join shuffles on (co-partitioned — no extra exchange) and
-    # drop degenerate buckets before pair enumeration.
-    bucket_w = Window.partitionBy("band", "bucket")
-    bands = (
-        bands.withColumn("bn", F.count("*").over(bucket_w))
-        .where(F.col("bn") <= MAX_BUCKET_MEMBERS)
-        .drop("bn")
-    )
+    bands = cap_buckets(
+        _minhash_bands(spark, sf_dir).join(reps, "doc_id"), "band", "bucket")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -280,8 +280,10 @@ def q_crop_merge_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     as agg + running-sum window; crop sizes come from the media_decode
     stub metadata so the oracle can mirror them)."""
     d = _read(spark, sf_dir, "documents")
-    w = (64 + F.length("text") % 960).cast("long")
-    h = (64 + (F.length("text") * 7) % 960).cast("long")
+    # crop sizes = the media_decode stub's geometry; the formula lives in
+    # textops (stub_dims / STUB_*_SQL) and Spark parses the same fragment
+    w = F.expr(TX.STUB_W_SQL.format(n="length(text)")).cast("long")
+    h = F.expr(TX.STUB_H_SQL.format(n="length(text)")).cast("long")
     grp = Window.partitionBy("source")
     running = (
         Window.partitionBy("source").orderBy("doc_id")
@@ -298,11 +300,11 @@ def q_crop_merge_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CROP_MERGE = """
+ORACLE_CROP_MERGE = f"""
 WITH c AS (
   SELECT source, doc_id,
-         CAST(64 + length(text) % 960 AS BIGINT) AS w,
-         CAST(64 + (length(text) * 7) % 960 AS BIGINT) AS h
+         CAST({TX.STUB_W_SQL.format(n='length(text)')} AS BIGINT) AS w,
+         CAST({TX.STUB_H_SQL.format(n='length(text)')} AS BIGINT) AS h
   FROM documents
 )
 SELECT source, doc_id,
@@ -362,7 +364,7 @@ WITH f AS (
   FROM documents
 ), g AS (
   SELECT doc_id, path,
-         lower(regexp_extract(string_split(path, '/')[-1], '.(\\.[^.]*)$', 1))
+         lower(regexp_extract(string_split(path, '/')[-1], '.(\\.[^.]+)$', 1))
            AS file_ext,
          to_y_raw
   FROM f

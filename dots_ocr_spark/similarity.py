@@ -42,11 +42,12 @@ BITS_PER_TABLE = 12
 N_TABLES = 8
 N_PLANES = N_TABLES * BITS_PER_TABLE
 
-#: skew guard (same rationale as dedup.MAX_BUCKET_MEMBERS): buckets
-#: holding more vectors than this are dropped from pair enumeration so a
-#: degenerate bucket (e.g. a zero/constant-embedding cluster) cannot go
-#: quadratic. Members still pair through the other N_TABLES-1 tables.
-MAX_BUCKET_MEMBERS = 64
+#: skew guard shared with the text-LSH family (dedup.cap_buckets):
+#: buckets holding more vectors than this are dropped from pair
+#: enumeration so a degenerate bucket (e.g. a zero/constant-embedding
+#: cluster) cannot go quadratic. Members still pair through the other
+#: N_TABLES-1 tables.
+from .dedup import MAX_BUCKET_MEMBERS, cap_buckets  # noqa: E402
 
 
 def _plane_component(p: int, d: int) -> float:
@@ -199,13 +200,7 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str,
     demonstrated by the planted-duplicate test in
     tests/test_dedup_similarity.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = embed_ann_buckets(spark, sf_dir)
-    bucket_w = Window.partitionBy("lsh_table", "bucket")
-    b = (
-        b.withColumn("bn", F.count("*").over(bucket_w))
-        .where(F.col("bn") <= MAX_BUCKET_MEMBERS)
-        .drop("bn")
-    )
+    b = cap_buckets(embed_ann_buckets(spark, sf_dir), "lsh_table", "bucket")
     cand = (
         b.alias("a").join(b.alias("c"), ["lsh_table", "bucket"])
         .where(F.col("a.vec_id") < F.col("c.vec_id"))

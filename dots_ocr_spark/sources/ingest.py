@@ -112,11 +112,12 @@ SUPPORTED_FORMATS = (".pdf", ".jpg", ".jpeg", ".png")
 
 def file_ext_expr(path_col: str) -> Column:
     """``Path(path).suffix.lower()`` as a JVM expression: the last
-    ``.``-suffix of the final path component, empty for dotless names and
-    leading-dot-only names (``.hidden`` has no suffix). The regex avoids
+    ``.``-suffix of the final path component, empty for dotless names,
+    leading-dot-only names (``.hidden``), and trailing-dot names
+    (``a.`` — Path requires a non-empty suffix body). The regex avoids
     lookbehind so the same pattern runs on RE2 engines (DuckDB oracle)."""
     base = F.element_at(F.split(F.col(path_col), "/"), -1)
-    return F.lower(F.regexp_extract(base, r".(\.[^.]*)$", 1))
+    return F.lower(F.regexp_extract(base, r".(\.[^.]+)$", 1))
 
 
 def file_format_gate(df: DataFrame, path_col: str = "path") -> DataFrame:
@@ -314,11 +315,19 @@ def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
             ),
         ),
     ))
+    # dynamic page height: a >170-word doc stacks more than PAGE_H of
+    # blocks; growing the page keeps every cell AND word box inside the
+    # extent (the bbox clamp would otherwise cut cells while the word
+    # layer kept its coordinates, silently dropping clipped words)
+    height = F.greatest(
+        F.lit(PAGE_H),
+        F.lit(BODY_TOP) + F.size(chunks) * (BLOCK_H + BLOCK_GAP) + F.lit(60),
+    ).cast("int")
     pages = F.array(
         F.struct(
             F.lit(0).alias("page_no"),
             F.lit(PAGE_W).alias("width"),
-            F.lit(PAGE_H).alias("height"),
+            height.alias("height"),
             F.lit(1.0).alias("scale_factor"),
             F.to_json(cells).alias("payload"),
             F.lit(None).cast("string").alias("toc_json"),

@@ -67,6 +67,19 @@ MEDIA_META_SCHEMA = (
 )
 
 
+def stub_dims(n: int) -> tuple[int, int]:
+    """The stub decoder's (width, height) as a pure function of the byte
+    count — THE single definition; the SQL templates below and any query
+    deriving crop geometry from stub metadata must mirror exactly this."""
+    return 64 + n % 960, 64 + (n * 7) % 960
+
+
+#: SQL mirrors of :func:`stub_dims` for oracle strings ({n} = a length
+#: expression; byte length == char length on this ASCII corpus)
+STUB_W_SQL = "64 + {n} % 960"
+STUB_H_SQL = "64 + ({n} * 7) % 960"
+
+
 def _decode_stub(payload: bytes) -> dict:
     """Deterministic stand-in for image decoding (container has no image
     libs). Emits metadata derived purely from the bytes so the pipeline
@@ -74,11 +87,12 @@ def _decode_stub(payload: bytes) -> dict:
     PIL/pyvips decode + resize/feature-extract."""
     md5 = hashlib.md5(payload).hexdigest()
     n = len(payload)
+    w, h = stub_dims(n)
     return {
         "media_md5": md5,
         "n_bytes": n,
-        "width": 64 + n % 960,
-        "height": 64 + (n * 7) % 960,
+        "width": w,
+        "height": h,
         "fmt": "png" if (n % 2 == 0) else "jpeg",
         "decoder": "stub",
     }
@@ -148,12 +162,12 @@ def media_decode(spark: SparkSession, sf_dir: str,
 
 # the corpus text is ASCII, so byte length == char length and DuckDB can
 # mirror every stub-derived field in SQL
-ORACLE_MEDIA_DECODE = """
+ORACLE_MEDIA_DECODE = f"""
 SELECT doc_id,
        md5(text) AS media_md5,
        length(text) AS n_bytes,
-       CAST(64 + length(text) % 960 AS INT) AS width,
-       CAST(64 + (length(text) * 7) % 960 AS INT) AS height,
+       CAST({STUB_W_SQL.format(n='length(text)')} AS INT) AS width,
+       CAST({STUB_H_SQL.format(n='length(text)')} AS INT) AS height,
        CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
        'stub' AS decoder
 FROM documents

@@ -88,10 +88,18 @@ class Tracer:
         finally:
             s.wall_sec = round(time.perf_counter() - t0, 6)
             s.cpu_sec = round(time.process_time() - c0, 6)
+            self._stack.pop()
             if self._spark is not None:
                 self._harvest(s, group)
-                self._spark.sparkContext.setJobGroup("", "")
-            self._stack.pop()
+                # restore the ENCLOSING span's job group (not ""), so a
+                # parent span keeps harvesting jobs it runs after a child
+                # closes
+                if self._stack:
+                    parent = self._stack[-1]
+                    self._spark.sparkContext.setJobGroup(
+                        f"trace-{parent.span_id}", parent.name)
+                else:
+                    self._spark.sparkContext.setJobGroup("", "")
             self.spans.append(s)
 
     def _harvest(self, s: Span, group: str) -> None:

@@ -12,13 +12,16 @@ def test_file_format_gate(spark):
         (1, "a/b/doc.pdf"), (2, "a/scan.JPG"), (3, "x.jpeg"), (4, "y.png"),
         (5, "notes.txt"), (6, "archive.tar.gz"), (7, "noext"),
         (8, ".hidden"), (9, "dir.with.dots/plain"), (10, "v2.PDF"),
+        (11, "trailing."), (12, "a..png"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, path string")
     got = {r["doc_id"]: r["file_ext"]
            for r in ingest.file_format_gate(df).collect()}
-    # suffix = last dot of the FINAL component, lowercased; leading-dot
-    # names and dotless names have no suffix (Path.suffix semantics)
-    assert got == {1: ".pdf", 2: ".jpg", 3: ".jpeg", 4: ".png", 10: ".pdf"}
+    # suffix = last dot of the FINAL component, lowercased; leading-dot,
+    # trailing-dot, and dotless names have no suffix (Path.suffix
+    # semantics: Path('trailing.').suffix == ''; Path('a..png') == '.png')
+    assert got == {1: ".pdf", 2: ".jpg", 3: ".jpeg", 4: ".png",
+                   10: ".pdf", 12: ".png"}
 
 
 def test_flip_toc_y(spark):
