@@ -60,6 +60,26 @@ def _fingerprint(df):
     return {r["doc_id"]: (r["n_spans"], r["status"], r["m"]) for r in rows}
 
 
+def test_wordgrain_tall_doc_keeps_every_word(spark, tmp_path):
+    """A >170-word document stacks more blocks than the nominal page
+    height; the generator must grow the page so the bbox clamp cannot
+    silently cut cells away from their word boxes."""
+    from dots_ocr_spark.sources.ingest import MP_CHUNK_WORDS
+
+    n_words = 400  # 40 chunks, nominal stack ~5k px > PAGE_H
+    text = " ".join(f"w{i}" for i in range(n_words))
+    d = str(tmp_path / "tall")
+    spark.createDataFrame([(1, text)], "doc_id long, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+    (row,) = pipeline.extract(
+        interleaved_wordgrain(spark.read.parquet(f"{d}/documents.parquet"))
+    ).collect()
+    assert row["status"] == "ok"
+    assert row["n_spans"] == n_words // MP_CHUNK_WORDS
+    got = " ".join(s["text"] for s in row["spans"])
+    assert got == text  # every word recovered through the clip
+
+
 @pytest.mark.parametrize("mode", ["paged", "scatter"])
 @pytest.mark.parametrize("gen", [interleaved_multipage, interleaved_wordgrain])
 def test_generated_input_modes_agree(spark, mode, gen):

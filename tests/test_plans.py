@@ -34,12 +34,13 @@ def test_flagship_corpus_extract_is_zero_shuffle(spark):
     explode) must stay scan → project → mapInPandas → explode with NO
     exchange, and the parquet scan must read only the columns the
     generator uses (doc_id, text)."""
-    plan = _plan(Q.q_extract_spans(spark, SF))
-    assert "Exchange" not in plan, plan
-    assert "MapInPandas" in plan
-    m = re.search(r"ReadSchema: [^\n]*", plan)
-    assert m and "doc_id" in m.group(0) and "text" in m.group(0), plan
-    assert "lang" not in m.group(0) and "source" not in m.group(0), plan
+    for df in (Q.q_extract_spans(spark, SF), Q.q_extract_wordgrain(spark, SF)):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "MapInPandas" in plan
+        m = re.search(r"ReadSchema: [^\n]*", plan)
+        assert m and "doc_id" in m.group(0) and "text" in m.group(0), plan
+        assert "lang" not in m.group(0) and "source" not in m.group(0), plan
 
 
 def test_scan_prunes_and_pushes_down(spark):
