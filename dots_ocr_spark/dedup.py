@@ -463,3 +463,128 @@ WHERE CAST(len(list_intersect(si.shset, sj.shset)) AS BIGINT)
 # the survivors oracle composes the jaccard-pairs oracle (defined above)
 ORACLE_DEDUP_SURVIVORS = ORACLE_DEDUP_SURVIVORS.format(
     jaccard=ORACLE_JACCARD_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the verified pair graph
+# ---------------------------------------------------------------------------
+
+#: fixed propagation rounds for the ORACLE-CHECKED variant: label(v)
+#: becomes the min doc_id within COMPONENT_ROUNDS hops, which equals the
+#: true component id whenever the component's min-label distance is
+#: within the bound — after exact-dedup collapse, near-dup components
+#: are overwhelmingly pairs/triangles (diameter 1-2); 8 is generous.
+#: The unbounded production variant is :func:`connected_components`.
+COMPONENT_ROUNDS = 8
+
+
+def _propagate_min_labels(nodes: DataFrame, edges: DataFrame,
+                          rounds: int) -> DataFrame:
+    """``rounds`` iterations of min-label propagation over an undirected
+    edge list: label(v) <- min(label(v), min(label(u) for u ~ v)).
+
+    Lineage discipline is load-bearing for ANY iterative Spark loop: the
+    inputs are localCheckpoint'ed once and the label table is
+    re-checkpointed every round, otherwise each round re-embeds the full
+    upstream plan (the LSH pair computation) into the next and Catalyst
+    analysis goes exponential — 8 un-truncated rounds hung the analyzer
+    for minutes on a 40-node graph."""
+    edges = edges.localCheckpoint()
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(rounds):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .select(edges["u"].alias("doc_id"), "label")
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+    return labels
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) for every document touched by a verified
+    near-dup pair: COMPONENT_ROUNDS rounds of min-label propagation over
+    the jaccard_pairs graph (component id = min doc_id reachable within
+    the bound — the exact component for any cluster whose min-label
+    distance fits, i.e. all realistic near-dup clusters). Each round is
+    one join + one partial-aggregating groupBy on the PAIR GRAPH only —
+    a tiny fraction of the corpus — so the iteration cost is independent
+    of corpus size."""
+    pairs = jaccard_pairs(spark, sf_dir).select("doc_i", "doc_j")
+    edges = pairs.select(F.col("doc_i").alias("u"), F.col("doc_j").alias("v")) \
+        .unionByName(
+            pairs.select(F.col("doc_j").alias("u"), F.col("doc_i").alias("v")))
+    nodes = edges.select(F.col("u").alias("doc_id")).distinct()
+    return (
+        _propagate_min_labels(nodes, edges, COMPONENT_ROUNDS)
+        .select("doc_id", F.col("label").alias("component"))
+    )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "doc_i",
+                         id_b: str = "doc_j",
+                         max_rounds: int = 50) -> DataFrame:
+    """Production variant: iterate min-label propagation to a FIXPOINT
+    (unbounded diameter), with ``localCheckpoint`` every round to
+    truncate the exploding join lineage — the standard Spark pattern for
+    iterative graph algorithms. Returns (doc_id, component)."""
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")) \
+        .unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))) \
+        .localCheckpoint()
+    nodes = edges.select(F.col("u").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")) \
+        .localCheckpoint()
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .select(edges["u"].alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def _cc_round_sql(prev: str, cur: str) -> str:
+    # MATERIALIZED is load-bearing: every round references the previous
+    # label CTE twice, so un-materialized CTEs inline the whole upstream
+    # jaccard computation 2^rounds times and the oracle never finishes
+    return f"""{cur} AS MATERIALIZED (
+  SELECT n.doc_id,
+         least(n.label, coalesce(min(nl.label), n.label)) AS label
+  FROM {prev} n
+  LEFT JOIN (SELECT e.u, l.label
+             FROM edges e JOIN {prev} l ON l.doc_id = e.v) nl
+    ON nl.u = n.doc_id
+  GROUP BY n.doc_id, n.label
+)"""
+
+
+ORACLE_NEARDUP_COMPONENTS = (
+    "WITH pairs AS MATERIALIZED ({jaccard}),\n"
+    "edges AS MATERIALIZED (\n"
+    "  SELECT doc_i AS u, doc_j AS v FROM pairs\n"
+    "  UNION ALL\n"
+    "  SELECT doc_j AS u, doc_i AS v FROM pairs\n"
+    "),\n"
+    "l0 AS MATERIALIZED (SELECT DISTINCT u AS doc_id, u AS label FROM edges),\n"
+    + ",\n".join(_cc_round_sql(f"l{i}", f"l{i+1}")
+                 for i in range(COMPONENT_ROUNDS))
+    + f"\nSELECT doc_id, label AS component FROM l{COMPONENT_ROUNDS}"
+).format(jaccard=ORACLE_JACCARD_PAIRS)

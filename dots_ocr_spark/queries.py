@@ -968,6 +968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup_pairs": D.simhash_neardup_pairs,
     "jaccard_pairs": D.jaccard_pairs,
     "dedup_survivors": D.dedup_survivors,
+    "neardup_components": D.neardup_components,
     "embed_topk": S.embed_topk,
     "embed_ann_buckets": S.embed_ann_buckets,
     "embed_neardup_pairs": S.embed_neardup_pairs,
@@ -1009,6 +1010,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_neardup_pairs": D.ORACLE_SIMHASH_NEARDUP,
     "jaccard_pairs": D.ORACLE_JACCARD_PAIRS,
     "dedup_survivors": D.ORACLE_DEDUP_SURVIVORS,
+    "neardup_components": D.ORACLE_NEARDUP_COMPONENTS,
     "embed_topk": S.ORACLE_EMBED_TOPK,
     "embed_ann_buckets": S.ORACLE_EMBED_ANN_BUCKETS,
     "embed_neardup_pairs": S.ORACLE_EMBED_NEARDUP,

@@ -56,6 +56,41 @@ def test_dedup_survivors(spark, con):
     assert not (ids & dropped)
 
 
+def test_neardup_components(spark, con):
+    rows = _match(spark, con, D.neardup_components,
+                  D.ORACLE_NEARDUP_COMPONENTS)
+    # component id is the min doc_id of the component
+    assert all(r[1] <= r[0] for r in rows)
+
+
+def test_connected_components_converges_past_round_bound(spark):
+    """The production fixpoint variant must solve graphs DEEPER than the
+    oracle-checked fixed-round bound: a 30-node chain (diameter 29) plus
+    a disjoint triangle, checked against a plain union-find."""
+    chain = [(i, i + 1) for i in range(100, 130)]
+    tri = [(500, 501), (501, 502)]
+    pairs = spark.createDataFrame(chain + tri, "doc_i long, doc_j long")
+    got = {r["doc_id"]: r["component"]
+           for r in D.connected_components(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in chain + tri:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {v: find(v) for v in got}
+    assert got == exp
+    assert got[130] == 100 and got[502] == 500
+
+
 def test_jaccard_pairs(spark, con):
     rows = _match(spark, con, D.jaccard_pairs, D.ORACLE_JACCARD_PAIRS)
     assert rows, "LSH candidates with jaccard >= 0.5 must exist"
