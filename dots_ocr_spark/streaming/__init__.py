@@ -1,1 +1,1 @@
-from .stream import stream_extract  # noqa: F401
+from .stream import stream_dedup_extract, stream_extract  # noqa: F401

@@ -52,3 +52,54 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming exact-dedup in front of extraction: the A8 keep-first
+    rule as an INCREMENTAL operator. ``dropDuplicates`` on the content
+    hash keeps state across micro-batches (backed by the state store and
+    the exactly-once checkpoint), so a document whose identical text
+    already streamed through ANY earlier batch is dropped before the
+    (expensive) parse runs — the streaming complement of the batch
+    ``dedup_exact``/``dedup_survivors`` pipeline.
+
+    State note for long-running tailers: an unwatermarked dropDuplicates
+    keeps one state row per distinct hash forever — that IS exact
+    global dedup (the training-data contract: a dup is a dup no matter
+    how old). Cap memory on an unbounded stream by compacting the corpus
+    periodically or switching to dropDuplicatesWithinWatermark when the
+    product only needs near-time dedup.
+    """
+    from pyspark.sql import functions as F
+
+    reader = (
+        spark.readStream.schema(schemas.INPUT)
+        .format("parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.load(input_dir)
+
+    deduped = (
+        docs.withColumn("content_md5", F.md5(F.to_json("pages")))
+        .dropDuplicates(["content_md5"])
+        .drop("content_md5")
+    )
+    out = pipeline.extract_fused(deduped)
+
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -51,3 +51,35 @@ def test_stream_matches_batch_and_resumes(spark, dirs):
     got2 = _fingerprint(out)
     exp2 = {**exp1, **_fingerprint(pipeline.extract(batch2))}
     assert got2 == exp2
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, dirs):
+    """Streaming exact-dedup: a document whose page content already
+    streamed through an EARLIER micro-batch is dropped by the stateful
+    dropDuplicates before the parse (A8 keep-first, incrementally)."""
+    import time
+
+    from dots_ocr_spark.streaming import stream_dedup_extract
+
+    input_dir, output_dir, ckpt = dirs
+    batch1 = pipeline.generate_input(spark, 60, partitions=2)
+    batch1.write.mode("append").parquet(input_dir)
+    time.sleep(1.1)
+    # batch 2 = 30 exact copies of batch-1 docs (same pages => same
+    # content hash, different doc_id) + 20 genuinely new docs
+    copies = batch1.limit(30).withColumn(
+        "doc_id", F.concat(F.lit("copy-"), F.col("doc_id")))
+    news = pipeline.generate_input(spark, 80, partitions=2).where(
+        F.col("doc_id") >= F.lit(f"doc-{60:08d}"))
+    copies.unionByName(news).write.mode("append").parquet(input_dir)
+
+    q = stream_dedup_extract(spark, input_dir, output_dir, ckpt,
+                             max_files_per_trigger=2)
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(output_dir)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # every original + new doc extracted exactly once, no copy- docs
+    assert not {i for i in ids if i.startswith("copy-")}
+    assert len(ids) == 60 + 20
+    assert out.count() == 80
