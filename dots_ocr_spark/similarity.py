@@ -76,13 +76,18 @@ def _norm(a):
 
 def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: for each of the first N_QUERIES vectors,
-    the TOP_K nearest other vectors by cosine (ties broken by vec_id)."""
+    the TOP_K nearest other vectors by cosine (ties broken by vec_id).
+    Norms are computed ONCE per side below the join (they are the same
+    interpreted aggregate as the dot product — recomputing them per pair
+    tripled the hot-path cost); the value is bit-identical either way."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"))
     c = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("ce"))
-    cos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+                   F.col("embedding").alias("ce"),
+                   _norm(F.col("embedding")).alias("cn"))
+    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -209,10 +214,12 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str,
         .distinct()
     )
     ei = emb.select(F.col("vec_id").alias("vec_i"),
-                    F.col("embedding").alias("ei"))
+                    F.col("embedding").alias("ei"),
+                    _norm(F.col("embedding")).alias("ni"))
     ej = emb.select(F.col("vec_id").alias("vec_j"),
-                    F.col("embedding").alias("ej"))
-    cos = _dot(F.col("ei"), F.col("ej")) / (_norm(F.col("ei")) * _norm(F.col("ej")))
+                    F.col("embedding").alias("ej"),
+                    _norm(F.col("embedding")).alias("nj"))
+    cos = _dot(F.col("ei"), F.col("ej")) / (F.col("ni") * F.col("nj"))
     return (
         cand.join(ei, "vec_i").join(ej, "vec_j")
         .select("vec_i", "vec_j", cos.alias("cosine"))
@@ -241,8 +248,11 @@ def _cos(a, b):
 
 
 def _centroids(emb: DataFrame) -> DataFrame:
+    # centroid norm precomputed once per centroid (K rows), not per
+    # scored pair — same value, bit-identical cosine
     return emb.where(F.col("vec_id") < IVF_N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"))
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("c_norm"))
 
 
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,10 +266,12 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's ORDER BY cos DESC, centroid_id."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     scored = (
-        emb.select("vec_id", "embedding")
+        emb.select("vec_id", "embedding",
+                   _norm(F.col("embedding")).alias("e_norm"))
         .crossJoin(F.broadcast(_centroids(emb)))
         .select("vec_id", "centroid_id",
-                _cos(F.col("embedding"), F.col("ce")).alias("cos"))
+                (_dot(F.col("embedding"), F.col("ce"))
+                 / (F.col("e_norm") * F.col("c_norm"))).alias("cos"))
     )
     best = scored.groupBy("vec_id").agg(
         F.max(F.struct(
@@ -306,26 +318,30 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroids(emb)
 
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("q_norm"))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", "qe", "centroid_id",
-                _cos(F.col("qe"), F.col("ce")).alias("ccos"))
+        .select("query_id", "qe", "q_norm", "centroid_id",
+                (_dot(F.col("qe"), F.col("ce"))
+                 / (F.col("q_norm") * F.col("c_norm"))).alias("ccos"))
         .withColumn("prn", F.row_number().over(probe_w))
         .where(F.col("prn") <= N_PROBE)
-        .select("query_id", "qe", "centroid_id")
+        .select("query_id", "qe", "q_norm", "centroid_id")
     )
     members = assign.join(
         emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("ne")),
+                   F.col("embedding").alias("ne"),
+                   _norm(F.col("embedding")).alias("n_norm")),
         assign.vec_id == F.col("neighbor_id"))
     scored = (
         probes.join(members, "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id",
-                _cos(F.col("qe"), F.col("ne")).alias("cosine"))
+                (_dot(F.col("qe"), F.col("ne"))
+                 / (F.col("q_norm") * F.col("n_norm"))).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
