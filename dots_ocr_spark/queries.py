@@ -447,6 +447,48 @@ FROM documents
 """
 
 
+#: BPE-ish sub-word tokenizer pattern (GPT-2 style simplified to the
+#: RE2 ∩ Java-regex subset — no lookaheads): contractions, letter runs,
+#: 1-3-digit chunks, punctuation runs. Shared verbatim by both engines.
+BPE_PATTERN = r"'[a-zA-Z]+|[a-zA-Z]+|[0-9]{1,3}|[^a-zA-Z0-9\s]+"
+
+
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: sub-word tokens from the shared regex
+    next to whitespace words, plus the tokens-per-word expansion ratio
+    (decimal-routed so both engines agree bit-for-bit). The tokenizer
+    itself is one codegen'd regexp_extract_all per row — at corpus scale
+    this is the cheap first pass that budgets sequence lengths before
+    any real tokenizer runs."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))
+    n_words = F.size(F.split("text", " "))
+    n_bpe = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_words.cast("long").alias("n_words"),
+        F.round(n_bpe.cast("decimal(18,6)") / n_words, 4)
+        .cast("double").alias("bpe_per_word"),
+        F.md5(F.array_join(toks, "\u0001")).alias("tokens_md5"),
+    )
+
+
+_BPE_SQL = BPE_PATTERN.replace("'", "''")  # SQL string-literal escape
+
+ORACLE_TOKEN_STATS_BPE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT)
+         AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_words,
+       CAST(round(CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS DECIMAL(18,6))
+                  / len(string_split(text, ' ')), 4) AS DOUBLE) AS bpe_per_word,
+       md5(array_to_string(regexp_extract_all(text, '{_BPE_SQL}'), chr(1)))
+         AS tokens_md5
+FROM documents
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of the normalized (trimmed) text
     (T11 analog, app/utils/hash.py:4-15)."""
@@ -459,12 +501,24 @@ SELECT doc_id, md5(trim(text)) AS fingerprint FROM documents
 """
 
 
+#: common-English character n-grams for the language-ID heuristic — the
+#: brief's "n-gram heuristic" leg next to the stopword leg
+_EN_NGRAMS = ("the", "ing", "and", "ion", "ent", "her", "for", "tio")
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: stopword-hit ratio + declared-lang remap
-    (P9-style categorical mapping with passthrough)."""
+    """Language-ID heuristic: stopword-hit count + common-English
+    character-n-gram presence count + declared-lang remap (P9-style
+    categorical mapping with passthrough). Pure codegen'd projections —
+    the shape of a first-pass language filter at corpus scale."""
     d = _read(spark, sf_dir, "documents")
     words = F.split("text", " ")
     stop_hits = F.size(F.filter(words, lambda w: w.isin("the", "a"))).cast("long")
+    ngram_hits = sum(
+        (F.when(F.col("text").contains(g), 1).otherwise(0)
+         for g in _EN_NGRAMS),
+        start=F.lit(0),
+    ).cast("long")
     lang_name = (
         F.when(F.col("lang") == "en", "english")
         .when(F.col("lang") == "es", "spanish")
@@ -476,16 +530,21 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         lang_name.alias("lang_name"),
         stop_hits.alias("stopword_hits"),
+        ngram_hits.alias("en_ngram_hits"),
         (stop_hits >= 1).alias("looks_english"),
     )
 
 
-ORACLE_LANGID = """
+_EN_NGRAM_SQL = " + ".join(
+    f"CASE WHEN text LIKE '%{g}%' THEN 1 ELSE 0 END" for g in _EN_NGRAMS)
+
+ORACLE_LANGID = f"""
 SELECT doc_id,
        CASE lang WHEN 'en' THEN 'english' WHEN 'es' THEN 'spanish'
                  WHEN 'de' THEN 'german' WHEN 'zh' THEN 'chinese'
                  ELSE lang END AS lang_name,
        len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS stopword_hits,
+       CAST({_EN_NGRAM_SQL} AS BIGINT) AS en_ngram_hits,
        len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) >= 1 AS looks_english
 FROM documents
 """
@@ -956,6 +1015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_gate": q_ingest_gate,
     "crop_merge_extents": q_crop_merge_extents,
     "token_stats": q_token_stats,
+    "token_stats_bpe": q_token_stats_bpe,
     "fingerprint": q_fingerprint,
     "langid": q_langid,
     "quality_score": q_quality_score,
@@ -998,6 +1058,7 @@ ORACLE_SQL: dict[str, str] = {
     "ingest_gate": ORACLE_INGEST_GATE,
     "crop_merge_extents": ORACLE_CROP_MERGE,
     "token_stats": ORACLE_TOKEN_STATS,
+    "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "fingerprint": ORACLE_FINGERPRINT,
     "langid": ORACLE_LANGID,
     "quality_score": ORACLE_QUALITY,
