@@ -501,6 +501,81 @@ SELECT doc_id, md5(trim(text)) AS fingerprint FROM documents
 """
 
 
+#: winnowing parameters: k-gram size and window width (MOSS defaults
+#: scaled to the short synthetic docs)
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS): hash
+    every K-char gram, keep the minimum of each W-wide sliding window,
+    output the distinct selected hashes per document as (count, digest).
+    Guarantees: any shared substring of length >= K+W-1 between two docs
+    yields at least one shared fingerprint — the content-overlap
+    detector exact hashing can't provide.
+
+    Shape: explode gram positions → codegen'd substring+md5 → sliding
+    MIN window partitioned by doc → distinct-set aggregate. One row per
+    character is fine at these document lengths; for book-length docs
+    the same spec runs per-doc inside mapInPandas instead of exploding
+    (the usual row-blowup trade)."""
+    k, w = WINNOW_K, WINNOW_W
+    d = _read(spark, sf_dir, "documents").where(F.length("text") >= k + w - 1)
+    m = (F.length("text") - (k - 1)).alias("m")  # number of grams
+    g = d.select(
+        "doc_id", "text", m,
+        F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("i"),
+    ).select(
+        "doc_id", "m", "i",
+        F.conv(
+            F.substring(F.md5(F.col("text").substr(F.col("i"), F.lit(k))),
+                        1, 15),
+            16, 10,
+        ).cast("long").alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    sel = (
+        g.withColumn("mh", F.min("h").over(win))
+        .where(F.col("i") <= F.col("m") - (w - 1))
+    )
+    return sel.groupBy("doc_id").agg(
+        F.countDistinct("mh").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(
+            F.transform(F.sort_array(F.collect_set("mh")),
+                        lambda x: x.cast("string")),
+            ",")).alias("fingerprints_md5"),
+    )
+
+
+ORACLE_WINNOW = f"""
+WITH g AS (
+  SELECT doc_id,
+         len(text) - {WINNOW_K - 1} AS m,
+         i,
+         CAST(('0x' || substring(md5(substring(text, CAST(i AS INT), {WINNOW_K})), 1, 15))
+              AS BIGINT) AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, len(text) - {WINNOW_K - 1} + 1)) AS i
+        FROM documents WHERE len(text) >= {WINNOW_K + WINNOW_W - 1})
+), sel AS (
+  SELECT doc_id, i, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS mh
+  FROM g
+)
+SELECT doc_id,
+       count(DISTINCT mh) AS n_fingerprints,
+       md5(array_to_string(
+             list_transform(list_sort(list(DISTINCT mh)),
+                            x -> CAST(x AS VARCHAR)), ',')) AS fingerprints_md5
+FROM sel
+WHERE i <= m - {WINNOW_W - 1}
+GROUP BY doc_id
+"""
+
+
 #: common-English character n-grams for the language-ID heuristic — the
 #: brief's "n-gram heuristic" leg next to the stopword leg
 _EN_NGRAMS = ("the", "ing", "and", "ion", "ent", "her", "for", "tio")
@@ -550,8 +625,15 @@ FROM documents
 """
 
 
+#: stopword list for the quality ratio leg (shared with the oracle)
+_QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length band + mean token length (decimal-exact)."""
+    """Quality scoring: length band + mean token length +
+    punctuation-character ratio + stopword ratio (all decimal-routed so
+    both engines agree bit-for-bit) — the length/punct/stopword triad a
+    pretraining quality filter runs before anything model-based."""
     d = _read(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_tokens = F.size(words)
@@ -563,21 +645,37 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_chars") < 300, "medium")
         .otherwise("long")
     )
+    n_punct = (F.length("text") - F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")))
+    punct_ratio = F.round(
+        n_punct.cast("decimal(18,6)") / F.length("text"), 4).cast("double")
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*_QUALITY_STOPWORDS)))
+    stop_ratio = F.round(
+        stop_hits.cast("decimal(18,6)") / n_tokens, 4).cast("double")
     return d.select(
         "doc_id",
         band.alias("length_band"),
         mean_tok_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
         (n_tokens >= 20).alias("quality_pass"),
     )
 
 
-ORACLE_QUALITY = """
+_STOP_SQL = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
+
+ORACLE_QUALITY = f"""
 SELECT doc_id,
        CASE WHEN n_chars < 100 THEN 'short'
             WHEN n_chars < 300 THEN 'medium'
             ELSE 'long' END AS length_band,
        CAST(round(CAST(length(text) - (len(string_split(text,' ')) - 1) AS DECIMAL(18,6))
                   / len(string_split(text,' ')), 4) AS DOUBLE) AS mean_token_len,
+       CAST(round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                       AS DECIMAL(18,6)) / length(text), 4) AS DOUBLE) AS punct_ratio,
+       CAST(round(CAST(len(list_filter(string_split(text,' '),
+                                       w -> w IN ({_STOP_SQL}))) AS DECIMAL(18,6))
+                  / len(string_split(text,' ')), 4) AS DOUBLE) AS stopword_ratio,
        len(string_split(text,' ')) >= 20 AS quality_pass
 FROM documents
 """
@@ -1017,6 +1115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "token_stats_bpe": q_token_stats_bpe,
     "fingerprint": q_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "langid": q_langid,
     "quality_score": q_quality_score,
     "dedup_exact": q_dedup_exact,
@@ -1060,6 +1159,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_stats": ORACLE_TOKEN_STATS,
     "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "fingerprint": ORACLE_FINGERPRINT,
+    "winnow_fingerprints": ORACLE_WINNOW,
     "langid": ORACLE_LANGID,
     "quality_score": ORACLE_QUALITY,
     "dedup_exact": ORACLE_DEDUP_EXACT,
