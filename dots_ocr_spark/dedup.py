@@ -478,30 +478,34 @@ ORACLE_DEDUP_SURVIVORS = ORACLE_DEDUP_SURVIVORS.format(
 COMPONENT_ROUNDS = 8
 
 
+def _label_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round over an undirected edge list:
+    label(v) <- min(label(v), min(label(u) for u ~ v)). The result is
+    ``localCheckpoint``'ed — lineage discipline is load-bearing for ANY
+    iterative Spark loop: without per-round truncation each round
+    re-embeds the full upstream plan (the LSH pair computation) into the
+    next and Catalyst analysis goes exponential (8 un-truncated rounds
+    hung the analyzer for minutes on a 40-node graph)."""
+    nbr = (
+        edges.join(labels, edges["v"] == labels["doc_id"])
+        .select(edges["u"].alias("doc_id"), "label")
+    )
+    return (
+        labels.unionByName(nbr)
+        .groupBy("doc_id")
+        .agg(F.min("label").alias("label"))
+    ).localCheckpoint()
+
+
 def _propagate_min_labels(nodes: DataFrame, edges: DataFrame,
                           rounds: int) -> DataFrame:
-    """``rounds`` iterations of min-label propagation over an undirected
-    edge list: label(v) <- min(label(v), min(label(u) for u ~ v)).
-
-    Lineage discipline is load-bearing for ANY iterative Spark loop: the
-    inputs are localCheckpoint'ed once and the label table is
-    re-checkpointed every round, otherwise each round re-embeds the full
-    upstream plan (the LSH pair computation) into the next and Catalyst
-    analysis goes exponential — 8 un-truncated rounds hung the analyzer
-    for minutes on a 40-node graph."""
+    """Exactly ``rounds`` propagation rounds (no convergence check) —
+    the oracle-mirrorable fixed-bound variant."""
     edges = edges.localCheckpoint()
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     for _ in range(rounds):
-        nbr = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
-            .select(edges["u"].alias("doc_id"), "label")
-        )
-        labels = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        labels = _label_round(edges, labels)
     return labels
 
 
@@ -529,9 +533,12 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_i",
                          id_b: str = "doc_j",
                          max_rounds: int = 50) -> DataFrame:
     """Production variant: iterate min-label propagation to a FIXPOINT
-    (unbounded diameter), with ``localCheckpoint`` every round to
-    truncate the exploding join lineage — the standard Spark pattern for
-    iterative graph algorithms. Returns (doc_id, component)."""
+    (unbounded diameter; shares the round body with the fixed-bound
+    variant). Raises if the fixpoint is not reached within
+    ``max_rounds`` — returning partially-propagated labels would
+    silently split one true component into several and let near-dups
+    survive downstream keep-one-per-cluster dedup.
+    Returns (doc_id, component)."""
     edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")) \
         .unionByName(
             pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))) \
@@ -540,15 +547,7 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_i",
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")) \
         .localCheckpoint()
     for _ in range(max_rounds):
-        nbr = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
-            .select(edges["u"].alias("doc_id"), "label")
-        )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        new_labels = _label_round(edges, labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -557,8 +556,13 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_i",
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("doc_id", F.col("label").alias("component"))
+            return labels.select(
+                "doc_id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge within {max_rounds} rounds "
+        "(a component's min-label distance exceeds the bound); raise "
+        "max_rounds — each extra round is one join + groupBy on the pair "
+        "graph only")
 
 
 def _cc_round_sql(prev: str, cur: str) -> str:

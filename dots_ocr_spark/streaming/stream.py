@@ -62,13 +62,19 @@ def stream_dedup_extract(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
-    """Streaming exact-dedup in front of extraction: the A8 keep-first
-    rule as an INCREMENTAL operator. ``dropDuplicates`` on the content
-    hash keeps state across micro-batches (backed by the state store and
-    the exactly-once checkpoint), so a document whose identical text
-    already streamed through ANY earlier batch is dropped before the
-    (expensive) parse runs — the streaming complement of the batch
-    ``dedup_exact``/``dedup_survivors`` pipeline.
+    """Streaming exact-dedup in front of extraction: exactly one
+    document per distinct page content survives, incrementally.
+    ``dropDuplicates`` on the content hash keeps state across
+    micro-batches (backed by the state store and the exactly-once
+    checkpoint), so a document whose identical content already streamed
+    through ANY earlier batch is dropped before the (expensive) parse
+    runs — the streaming complement of the batch
+    ``dedup_exact``/``dedup_survivors`` pipeline. Semantics vs batch A8:
+    across batches the EARLIER arrival wins; within one micro-batch the
+    surviving row of a duplicate cluster is arbitrary (Spark's
+    dropDuplicates keeps whichever partition's row wins), unlike the
+    batch keep-first-by-doc_id rule — content-level dedup is still
+    exact either way.
 
     State note for long-running tailers: an unwatermarked dropDuplicates
     keeps one state row per distinct hash forever — that IS exact

@@ -122,11 +122,13 @@ class Tracer:
 
     def traced(self, name: str | None = None):
         """Decorator form (tracing.py:140-151 analog)."""
+        import functools
+
         def deco(fn):
+            @functools.wraps(fn)
             def wrapper(*args, **kwargs):
                 with self.span(name or fn.__qualname__):
                     return fn(*args, **kwargs)
-            wrapper.__name__ = fn.__name__
             return wrapper
         return deco
 
@@ -136,6 +138,10 @@ class Tracer:
         import json
 
         spark = spark or self._spark
+        if spark is None:
+            raise ValueError(
+                "no SparkSession available: construct Tracer(spark) or pass "
+                "one to metrics_df/write_metrics")
         rows = [
             (s.span_id, s.parent_id, s.name, s.status, s.error,
              s.started_at_unix, s.wall_sec, s.cpu_sec,

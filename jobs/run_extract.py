@@ -57,27 +57,31 @@ def main() -> int:
     from dots_ocr_spark.tracing import Tracer
 
     tracer = Tracer(spark)
-    with tracer.span("run_extract", output=args.output, mode=args.mode):
-        with tracer.span("read_input"):
-            if args.input:
-                docs = spark.read.parquet(args.input)
-            else:
-                docs = pipeline.generate_input(spark, args.synthetic)
+    try:
+        with tracer.span("run_extract", output=args.output, mode=args.mode):
+            with tracer.span("read_input"):
+                if args.input:
+                    docs = spark.read.parquet(args.input)
+                else:
+                    docs = pipeline.generate_input(spark, args.synthetic)
 
-        t0 = time.perf_counter()
-        with tracer.span("extract", buckets=args.buckets):
-            res = checkpoint.run_extraction(
-                spark, docs, args.output,
-                n_buckets=args.buckets,
-                buckets_per_commit=args.buckets_per_commit,
-                mode=args.mode,
-                run_id=args.run_id,
-            )
-        res["wall_sec"] = round(time.perf_counter() - t0, 2)
-        res["metrics"] = [r.asDict() for r in
-                          checkpoint.metrics_summary(spark, args.output).collect()]
-    # span table lands next to the lineage table — the run's trace
-    tracer.write_metrics(f"{args.output}/_trace")
+            t0 = time.perf_counter()
+            with tracer.span("extract", buckets=args.buckets):
+                res = checkpoint.run_extraction(
+                    spark, docs, args.output,
+                    n_buckets=args.buckets,
+                    buckets_per_commit=args.buckets_per_commit,
+                    mode=args.mode,
+                    run_id=args.run_id,
+                )
+            res["wall_sec"] = round(time.perf_counter() - t0, 2)
+            res["metrics"] = [
+                r.asDict() for r in
+                checkpoint.metrics_summary(spark, args.output).collect()]
+    finally:
+        # persist the trace even (especially) when the run failed — the
+        # error spans are the post-mortem; lands next to the lineage table
+        tracer.write_metrics(f"{args.output}/_trace")
     res["trace_spans"] = len(tracer.spans)
     print(json.dumps(res, default=str))
     spark.stop()
