@@ -5,7 +5,10 @@ documents corpus is ingested into the interleaved span table shape
 (JVM-only pagination) and run through the full extraction pipeline
 (parse → clean → order → assemble).
 
-``queries()`` / ``oracle_sql()`` — operator registry with DuckDB oracles;
+``queries()`` / ``oracle_sql()`` — the operator registry: 41 queries,
+EVERY one with a DuckDB value oracle (extraction end-to-end incl. repair/
+failure/word-grain paths, the dedup + similarity + text-analysis
+families, checkpoint metrics, ingest gates, and the relational suite);
 see dots_ocr_spark/queries.py.
 """
 
