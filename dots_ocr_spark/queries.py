@@ -29,6 +29,7 @@ from .sources import ingest
 from .sources.ingest import (
     interleaved_from_text,
     interleaved_multipage,
+    interleaved_toc,
     interleaved_wordgrain,
 )
 
@@ -270,6 +271,94 @@ SELECT doc_id,
        md5(array_to_string(chunks, chr(10)||chr(10)) || chr(10)||chr(10))
          AS markdown_md5
 FROM ex
+"""
+
+
+def q_extract_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/O5/T6-T8 end to end under the value oracle: every page carries a
+    Section-header + a List-item plus an md5-drawn TOC
+    (``sources.ingest.interleaved_toc``) and runs the REAL directory
+    rebuild — fuzzy Indel match (F8 gate proven by a ratio-0 decoy
+    entry), nearest-claim at in-bbox distance 0, matched-level rewrite
+    (incl. the level-1 lowercase ``title`` category quirk), and the
+    unmatched reassignment rules (List-item ⇒ 8; header ⇒ 6 on empty-TOC
+    pages). The md5 draws make every rewritten span and the document
+    markdown SQL-predictable (reference directory_entry.py:100-122,
+    180-215)."""
+    docs = interleaved_toc(_read(spark, sf_dir, "documents"))
+    out = pipeline.extract(docs)
+    return out.select(
+        "doc_id",
+        F.explode("spans").alias("s"),
+        F.md5("markdown").alias("markdown_md5"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.md5(F.col("s.text")).alias("content_md5"),
+        "markdown_md5",
+    )
+
+
+ORACLE_EXTRACT_TOC = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(ceil(n / {ingest.MP_CHUNK_WORDS}.0) AS INT) AS n_chunks,
+         [array_to_string(toks[(i*{ingest.MP_CHUNK_WORDS}+1):least((i+1)*{ingest.MP_CHUNK_WORDS}, n)], ' ')
+          FOR i IN range(0, CAST(ceil(n / {ingest.MP_CHUNK_WORDS}.0) AS INT))] AS chunks
+  FROM t
+), pg AS (
+  SELECT doc_id, n_chunks, chunks,
+         unnest(range(0, CAST(ceil(n_chunks / {ingest.MP_CHUNKS_PER_PAGE}.0) AS INT))) AS page_no
+  FROM c
+), psc AS (
+  SELECT doc_id, page_no,
+         chunks[(page_no*{ingest.MP_CHUNKS_PER_PAGE}+1):least((page_no+1)*{ingest.MP_CHUNKS_PER_PAGE}, n_chunks)] AS pchunks,
+         'sec ' || substring(md5(doc_id || ':hd:' || page_no), 1, 8) AS hd,
+         'li ' || substring(md5(doc_id || ':li:' || page_no), 1, 8) AS li,
+         CAST(('0x' || substring(md5(doc_id || ':toc:' || page_no), 1, 1)) AS INT) AS d
+  FROM pg
+), hs AS (
+  SELECT doc_id, page_no, pchunks, li,
+         CASE WHEN d < {ingest.TOC_MATCH_BELOW} AND d % 3 = 0
+                THEN {{'kind': 'title', 'content': '# ' || hd}}
+              WHEN d < {ingest.TOC_MATCH_BELOW} AND d % 3 = 1
+                THEN {{'kind': 'section-header', 'content': '## ' || hd}}
+              WHEN d < {ingest.TOC_MATCH_BELOW}
+                THEN {{'kind': 'section-header', 'content': '### ' || hd}}
+              ELSE {{'kind': 'section-header', 'content': '###### ' || hd}}
+         END AS hspan
+  FROM psc
+), pspans AS (
+  SELECT doc_id, page_no,
+         list_concat(list_concat([hspan],
+           [{{'kind': 'text', 'content': ch}} FOR ch IN pchunks]),
+           [{{'kind': 'list-item', 'content': li}}]) AS spans
+  FROM hs
+), docmd AS (
+  SELECT doc_id,
+         md5(string_agg(
+           array_to_string([s.content FOR s IN spans], chr(10)||chr(10))
+             || chr(10)||chr(10),
+           '' ORDER BY page_no)) AS markdown_md5
+  FROM pspans GROUP BY doc_id
+), ex AS (
+  SELECT doc_id, page_no,
+         unnest([{{'j': j, 's': spans[j]}} FOR j IN range(1, len(spans)+1)]) AS u
+  FROM pspans
+)
+SELECT e.doc_id,
+       CAST(row_number() OVER (PARTITION BY e.doc_id ORDER BY e.page_no, e.u.j) - 1
+            AS BIGINT) AS "offset",
+       e.u.s.kind AS kind,
+       md5(e.u.s.content) AS content_md5,
+       dm.markdown_md5 AS markdown_md5
+FROM ex e JOIN docmd dm ON e.doc_id = dm.doc_id
 """
 
 
@@ -1109,6 +1198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_docs": q_extract_docs,
     "extract_from_corpus": q_extract_from_corpus,
     "extract_wordgrain": q_extract_wordgrain,
+    "extract_toc": q_extract_toc,
     "metrics_summary": q_metrics_summary,
     "ingest_gate": q_ingest_gate,
     "crop_merge_extents": q_crop_merge_extents,
@@ -1153,6 +1243,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_docs": ORACLE_EXTRACT_DOCS,
     "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
     "extract_wordgrain": ORACLE_EXTRACT_WORDGRAIN,
+    "extract_toc": ORACLE_EXTRACT_TOC,
     "metrics_summary": ORACLE_METRICS_SUMMARY,
     "ingest_gate": ORACLE_INGEST_GATE,
     "crop_merge_extents": ORACLE_CROP_MERGE,

@@ -265,6 +265,146 @@ def interleaved_multipage(docs: DataFrame, doc_id_col: str = "doc_id",
     )
 
 
+# ---- TOC generator knobs (interleaved_toc) --------------------------------
+#: first hex nibble of md5(doc_id || ':toc:' || page_no) below this ⇒ the
+#: page carries a TOC whose first entry fuzzy-matches the Section-header
+#: (ratio 100, inside-bbox distance 0); otherwise the page carries an
+#: EMPTY TOC (structured doc, page without entries) which still runs the
+#: rebuild and demotes every header through the unmatched path
+TOC_MATCH_BELOW = 8
+#: Section-header cell bbox (top block) and the TOC destination point
+#: inside it (⇒ point-to-bbox distance 0, directory_entry.py:115-117)
+TOC_HDR_BBOX = (100, BODY_TOP, PAGE_W - 100, BODY_TOP + BLOCK_H)
+TOC_DEST = (150, 200)
+#: List-item cell bbox — bottom of the page, below every Text block
+TOC_LI_BBOX = (100, 1900, PAGE_W - 100, 2000)
+#: decoy TOC entry text: alphabet disjoint from 'sec '/'li ' + hex, so the
+#: Indel ratio against every header is exactly 0 (< the 40 gate) and the
+#: entry provably claims nothing — the F8 no-match path
+TOC_DECOY = "z" * 16
+
+
+def interleaved_toc(docs: DataFrame, doc_id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Flat corpus → multi-page interleaved docs that drive the TOC
+    directory rebuild (J1 fuzzy match + O5 level reassignment + T6-T8
+    header rewrite; reference directory_entry.py:180-215) through the
+    REAL pipeline code path with md5-deterministic, SQL-predictable
+    outcomes, so the driver's DuckDB oracle value-checks the rebuild.
+
+    Per page:
+
+      * a Section-header cell ``"## sec <md5hex8>"`` in the top block —
+        md5-drawn text (alphabet ``sec +hex``) keeps the fuzzy-ratio
+        algebra exact: the matching TOC entry's text equals the cleaned
+        header text (ratio 100) and its destination sits inside the
+        header bbox (distance 0), so the entry claims the header;
+      * 1-2 Text blocks below it carrying the corpus chunks;
+      * a List-item cell ``"li <md5hex8>"`` at the page bottom — never
+        claimed (the matching entry is at distance 0 on the header
+        first, strict ``<``), so it always exits through the unmatched
+        List-item ⇒ level 8 rule;
+      * the TOC draw (first hex nibble of ``md5(doc_id':toc:'page)``):
+        < ``TOC_MATCH_BELOW`` ⇒ ``[match(level L=1+(d%3)), decoy]`` —
+        the header is rewritten to level L (L=1 additionally flips the
+        category to lowercase ``title``, the reference's faithful
+        quirk); otherwise ``[]`` — the empty-TOC page still runs the
+        rebuild and the unmatched header lands at
+        ``min(8, max(5, 0) + rank + 1) = 6`` (``###### ``).
+
+    The decoy entry (ratio 0 < the 40 gate against every header) proves
+    the F8 no-match path in the same rows.
+    """
+    did = F.col(doc_id_col).cast("string")
+    marked = F.regexp_replace(
+        F.col(text_col),
+        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
+        "$1",
+    )
+    chunks = F.split(marked, "")
+    n_chunks = F.size(chunks)
+    n_pages = F.ceil(n_chunks / F.lit(MP_CHUNKS_PER_PAGE)).cast("int")
+
+    hx1, hy1, hx2, hy2 = TOC_HDR_BBOX
+    lx1, ly1, lx2, ly2 = TOC_LI_BBOX
+
+    def _page(chunks_col: Column, did_col: Column):
+        def build(p: Column) -> Column:
+            hd = F.concat(
+                F.lit("sec "),
+                F.substring(F.md5(F.concat(did_col, F.lit(":hd:"),
+                                           p.cast("string"))), 1, 8))
+            li = F.concat(
+                F.lit("li "),
+                F.substring(F.md5(F.concat(did_col, F.lit(":li:"),
+                                           p.cast("string"))), 1, 8))
+            pchunks = F.slice(
+                chunks_col, p * MP_CHUNKS_PER_PAGE + 1, MP_CHUNKS_PER_PAGE)
+            hdr_cell = F.struct(
+                F.array(F.lit(hx1), F.lit(hy1), F.lit(hx2), F.lit(hy2))
+                 .alias("bbox"),
+                F.lit("Section-header").alias("category"),
+                F.concat(F.lit("## "), hd).alias("text"),
+            )
+            text_cells = F.transform(
+                pchunks,
+                lambda ch, j: F.struct(
+                    F.array(
+                        F.lit(100),
+                        F.lit(BODY_TOP) + (j + 1) * (BLOCK_H + BLOCK_GAP),
+                        F.lit(PAGE_W - 100),
+                        F.lit(BODY_TOP) + (j + 1) * (BLOCK_H + BLOCK_GAP)
+                        + BLOCK_H,
+                    ).alias("bbox"),
+                    F.lit("Text").alias("category"),
+                    ch.alias("text"),
+                ),
+            )
+            li_cell = F.struct(
+                F.array(F.lit(lx1), F.lit(ly1), F.lit(lx2), F.lit(ly2))
+                 .alias("bbox"),
+                F.lit("List-item").alias("category"),
+                li.alias("text"),
+            )
+            cells = F.concat(
+                F.array(hdr_cell), text_cells, F.array(li_cell))
+            d = _hex_draw(did_col, ":toc:", p, 1)
+            toc_entry = F.struct(
+                (F.lit(1) + d % 3).alias("level"),
+                hd.alias("text"),
+                F.array(F.lit(TOC_DEST[0]), F.lit(TOC_DEST[1])).alias("to"),
+            )
+            decoy = F.struct(
+                F.lit(5).alias("level"),
+                F.lit(TOC_DECOY).alias("text"),
+                F.array(F.lit(TOC_DEST[0]), F.lit(TOC_DEST[1])).alias("to"),
+            )
+            toc_json = F.when(
+                d < TOC_MATCH_BELOW, F.to_json(F.array(toc_entry, decoy))
+            ).otherwise(F.lit("[]"))
+            return F.struct(
+                p.cast("int").alias("page_no"),
+                F.lit(PAGE_W).alias("width"),
+                F.lit(PAGE_H).alias("height"),
+                F.lit(1.0).alias("scale_factor"),
+                F.to_json(cells).alias("payload"),
+                toc_json.alias("toc_json"),
+                F.lit(None).cast("string").alias("words_json"),
+            )
+
+        return build
+
+    pages = F.transform(
+        F.sequence(F.lit(0), n_pages - 1), _page(chunks, did))
+    return docs.select(
+        did.alias("doc_id"),
+        F.array().cast(_EMPTY_SPANS).alias("spans"),
+        pages.alias("pages"),
+        n_pages.alias("n_pages"),
+        F.lit("normal").alias("size_class"),
+    )
+
+
 def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """Flat corpus → single-page interleaved docs whose Text cells carry

@@ -12,6 +12,7 @@ from dots_ocr_spark import pipeline
 from dots_ocr_spark import queries as Q
 from dots_ocr_spark.sources.ingest import (
     interleaved_multipage,
+    interleaved_toc,
     interleaved_wordgrain,
 )
 
@@ -53,6 +54,32 @@ def test_extract_docs_matches_oracle(spark, con):
     assert max(r[1] for r in rows) >= 3
 
 
+def test_extract_toc_matches_oracle(spark, con):
+    rows = _match(spark, con, Q.q_extract_toc, Q.ORACLE_EXTRACT_TOC)
+    kinds = {r[2] for r in rows}
+    # 'title' only appears via the matched level-1 rewrite (the lowercase
+    # category quirk), so its presence proves the TOC claim path ran
+    assert kinds == {"title", "section-header", "text", "list-item"}, kinds
+
+
+def test_toc_rebuild_exercises_every_level_path(spark):
+    """The generated corpus must actually drive all four header outcomes
+    (matched L=1/2/3 and the empty-TOC demote to 6) plus the List-item
+    ⇒ 8 rule through the REAL rebuild code."""
+    docs = interleaved_toc(
+        spark.read.parquet(f"{SF}/documents.parquet").limit(200))
+    texts = [
+        s["text"]
+        for row in pipeline.extract(docs).collect()
+        for s in row["spans"]
+        if s["text"] is not None and s["text"].startswith(("#", "li "))
+    ]
+    prefixes = {t.split(" ", 1)[0] for t in texts if t.startswith("#")}
+    assert {"#", "##", "###", "######"} <= prefixes, prefixes
+    assert "####" not in prefixes and "#####" not in prefixes, prefixes
+    assert any(t.startswith("li ") for t in texts)
+
+
 def _fingerprint(df):
     rows = df.select(
         "doc_id", "n_spans", "status", F.md5("markdown").alias("m")
@@ -81,7 +108,8 @@ def test_wordgrain_tall_doc_keeps_every_word(spark, tmp_path):
 
 
 @pytest.mark.parametrize("mode", ["paged", "scatter"])
-@pytest.mark.parametrize("gen", [interleaved_multipage, interleaved_wordgrain])
+@pytest.mark.parametrize(
+    "gen", [interleaved_multipage, interleaved_toc, interleaved_wordgrain])
 def test_generated_input_modes_agree(spark, mode, gen):
     """All three physical strategies must produce identical documents on
     the generated inputs (fused is the baseline) — including the
