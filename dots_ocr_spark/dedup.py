@@ -27,29 +27,88 @@ N_BITS = 60
 N_BANDS = 4
 BAND_BITS = N_BITS // N_BANDS
 
-#: skew guard for LSH candidate generation: buckets holding more than this
-#: many documents are excluded from pair enumeration. A bucket of size k
-#: contributes k(k-1)/2 candidate pairs, so one degenerate bucket (a
-#: near-constant boilerplate cluster on a web corpus) would go quadratic;
-#: the cap bounds any bucket's contribution at CAP²/2 pairs. Members of a
-#: capped bucket still pair through their OTHER band (two independent
-#: bands), and exact-dup clusters were already collapsed to one
-#: representative before banding — the cap only drops pathological
-#: boilerplate clusters, which exact/threshold dedup handles separately.
+#: skew guard for LSH candidate generation: buckets holding more than
+#: this many documents switch from all-pairs to STAR pair enumeration. A
+#: bucket of size k contributes k(k-1)/2 candidate pairs, so one
+#: degenerate bucket (a near-constant boilerplate cluster on a web
+#: corpus) would go quadratic. Members of an oversized bucket are NOT
+#: dropped — a large near-identical cluster collides in EVERY band, so
+#: dropping it would let exactly the most-duplicated content escape
+#: near-dup dedup; instead each member pairs with the bucket's min id
+#: (O(k) pairs, the star keeps the cluster connected so downstream
+#: greedy drop / connected components still collapse it).
 MAX_BUCKET_MEMBERS = 64
 
 
-def cap_buckets(df: DataFrame, *keys: str) -> DataFrame:
-    """Skew guard shared by every LSH candidate generator: drop rows in
-    buckets holding more than MAX_BUCKET_MEMBERS members. The count is a
-    window over the SAME keys the subsequent self-join shuffles on —
-    co-partitioned, no extra exchange."""
+def lsh_candidate_pairs(df: DataFrame, *keys: str, id_col: str = "doc_id",
+                        payload: tuple[str, ...] = ()) -> DataFrame:
+    """Candidate pair enumeration shared by every LSH family, with the
+    degenerate-bucket skew guard.
+
+    Buckets holding <= MAX_BUCKET_MEMBERS rows enumerate all k(k-1)/2
+    pairs (self-join on the bucket keys). LARGER buckets emit O(k) STAR
+    pairs instead — each member against the bucket's min id — bounding
+    any bucket's contribution at max(CAP²/2, k-1) pairs while keeping
+    the cluster connected: greedy drop-doc_j and min-label connected
+    components both still collapse it to one representative.
+
+    Output columns: ``id_i``/``id_j`` plus ``<c>_i``/``<c>_j`` for every
+    payload column. Pairs can repeat across bands/buckets — callers
+    apply their verify filter and then ``distinct`` (filtering first
+    keeps the distinct's exchange small). Both window aggregates run
+    over the SAME keys the self-join shuffles on — co-partitioned, no
+    extra exchange; the star leg is a projection off the same windowed
+    scan (the struct-min carries the min id's payload with it).
+    """
     w = Window.partitionBy(*keys)
-    return (
+    carry = F.struct(F.col(id_col), *[F.col(c) for c in payload])
+    ann = (
         df.withColumn("_bn", F.count("*").over(w))
-        .where(F.col("_bn") <= MAX_BUCKET_MEMBERS)
-        .drop("_bn")
+        .withColumn("_bmin", F.min(carry).over(w))
     )
+    small = ann.where(F.col("_bn") <= MAX_BUCKET_MEMBERS)
+    a, b = small.alias("a"), small.alias("b")
+    all_pairs = (
+        a.join(b, list(keys))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_i"),
+            F.col(f"b.{id_col}").alias("id_j"),
+            *[F.col(f"a.{c}").alias(f"{c}_i") for c in payload],
+            *[F.col(f"b.{c}").alias(f"{c}_j") for c in payload],
+        )
+    )
+    star = (
+        ann.where((F.col("_bn") > MAX_BUCKET_MEMBERS)
+                  & (F.col(id_col) > F.col("_bmin")[id_col]))
+        .select(
+            F.col("_bmin")[id_col].alias("id_i"),
+            F.col(id_col).alias("id_j"),
+            *[F.col("_bmin")[c].alias(f"{c}_i") for c in payload],
+            *[F.col(c).alias(f"{c}_j") for c in payload],
+        )
+    )
+    return all_pairs.unionByName(star)
+
+
+def _oracle_pair_sql(bands_cte: str, *keys: str, id_col: str = "doc_id",
+                     payload: tuple[str, ...] = ()) -> str:
+    """DuckDB mirror of :func:`lsh_candidate_pairs`: all-pairs from
+    small buckets UNION ALL star pairs from oversized ones, over a
+    ``bands_cte`` relation carrying (id, payload..., keys...)."""
+    on = " AND ".join(f"a.{k} = c.{k}" for k in keys)
+    pay_sel_a = "".join(f", a.{c} AS {c}_i" for c in payload)
+    pay_sel_c = "".join(f", c.{c} AS {c}_j" for c in payload)
+    return f"""
+  SELECT a.{id_col} AS id_i, c.{id_col} AS id_j{pay_sel_a}{pay_sel_c}
+  FROM {bands_cte} a JOIN {bands_cte} c ON {on}
+  WHERE a.bn <= {MAX_BUCKET_MEMBERS} AND c.bn <= {MAX_BUCKET_MEMBERS}
+    AND a.{id_col} < c.{id_col}
+  UNION ALL
+  SELECT bmin AS id_i, {id_col} AS id_j{"".join(
+      f", bmin_{c} AS {c}_i, {c} AS {c}_j" for c in payload)}
+  FROM {bands_cte}
+  WHERE bn > {MAX_BUCKET_MEMBERS} AND {id_col} > bmin"""
 
 
 # ---------------------------------------------------------------------------
@@ -136,8 +195,8 @@ SIMHASH_MAX_HAMMING = 6
 
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: candidates = docs sharing any 15-bit band
-    bucket (one shuffle, capped against degenerate buckets), verified by
-    exact Hamming distance over the full 60-bit signatures
+    bucket (one shuffle; degenerate buckets degrade to star pairing),
+    verified by exact Hamming distance over the full 60-bit signatures
     (bit_count(xor) — codegen'd, only on candidate pairs)."""
     sig = simhash_signatures(spark, sf_dir)
     bands = sig.select(
@@ -151,16 +210,14 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_BANDS)
         ])).alias("b"),
     ).select("doc_id", "simhash", "b.band", "b.bucket")
-    bands = cap_buckets(bands, "band", "bucket")
-    a, c = bands.alias("a"), bands.alias("c")
+    pairs = lsh_candidate_pairs(
+        bands, "band", "bucket", payload=("simhash",))
     return (
-        a.join(c, ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("c.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_i"),
-            F.col("c.doc_id").alias("doc_j"),
+        pairs.select(
+            F.col("id_i").alias("doc_i"),
+            F.col("id_j").alias("doc_j"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("c.simhash"))
+                F.col("simhash_i").bitwiseXOR(F.col("simhash_j"))
             ).cast("long").alias("hamming"),
         )
         # filter BEFORE distinct: hamming is a function of the pair, so
@@ -198,16 +255,18 @@ bands_all AS (
     for i in range(N_BANDS)
   )}
 ), bands AS (
-  SELECT doc_id, simhash, band, bucket
-  FROM (SELECT doc_id, simhash, band, bucket,
-               count(*) OVER (PARTITION BY band, bucket) AS bn
-        FROM bands_all)
-  WHERE bn <= {MAX_BUCKET_MEMBERS}
+  SELECT doc_id, simhash, band, bucket,
+         count(*) OVER (PARTITION BY band, bucket) AS bn,
+         min(doc_id) OVER (PARTITION BY band, bucket) AS bmin,
+         arg_min(simhash, doc_id) OVER (PARTITION BY band, bucket)
+           AS bmin_simhash
+  FROM bands_all
 ), pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_i, c.doc_id AS doc_j,
-         CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
-  FROM bands a JOIN bands c ON a.band = c.band AND a.bucket = c.bucket
-  WHERE a.doc_id < c.doc_id
+  SELECT DISTINCT id_i AS doc_i, id_j AS doc_j,
+         CAST(bit_count(xor(simhash_i, simhash_j)) AS BIGINT) AS hamming
+  FROM ({_oracle_pair_sql("bands", "band", "bucket",
+                          payload=("simhash",))}
+  )
 )
 SELECT doc_i, doc_j, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
@@ -378,15 +437,11 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str,
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    bands = cap_buckets(
-        _minhash_bands(spark, sf_dir).join(reps, "doc_id"), "band", "bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    bands = _minhash_bands(spark, sf_dir).join(reps, "doc_id")
     cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_i"),
-                F.col("b.doc_id").alias("doc_j"))
+        lsh_candidate_pairs(bands, "band", "bucket")
+        .select(F.col("id_i").alias("doc_i"),
+                F.col("id_j").alias("doc_j"))
         .distinct()
     )
 
@@ -438,15 +493,14 @@ WITH reps AS (
   UNION ALL
   SELECT doc_id, 1 AS band, md5(mh4 || mh5 || mh6 || mh7) AS bucket FROM sig
 ), bands AS (
-  SELECT doc_id, band, bucket
-  FROM (SELECT doc_id, band, bucket,
-               count(*) OVER (PARTITION BY band, bucket) AS bn
-        FROM bands_all)
-  WHERE bn <= {MAX_BUCKET_MEMBERS}
+  SELECT doc_id, band, bucket,
+         count(*) OVER (PARTITION BY band, bucket) AS bn,
+         min(doc_id) OVER (PARTITION BY band, bucket) AS bmin
+  FROM bands_all
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id
+  SELECT DISTINCT id_i AS doc_i, id_j AS doc_j
+  FROM ({_oracle_pair_sql("bands", "band", "bucket")}
+  )
 )
 SELECT c.doc_i, c.doc_j,
        CAST(len(list_intersect(si.shset, sj.shset)) AS BIGINT)

@@ -16,6 +16,8 @@ plain-Python oracle in pytest instead.
 
 from __future__ import annotations
 
+import os as _os
+import tempfile as _tempfile
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -467,16 +469,22 @@ WHERE file_ext IN ('.pdf', '.jpg', '.jpeg', '.png')
 
 
 #: fixed location for the checkpointed-run demo (gitignored scratch);
-#: fixed so the DuckDB oracle can read the lineage table it produces
-METRICS_DEMO_BASE = "/root/repo/spark-warehouse/lineage_demo"
+#: scratch base for the lineage demo, unique PER PROCESS: concurrent
+#: driver runs each get their own directory (no rmtree race) and a
+#: relocated checkout still works. ORACLE_METRICS_SUMMARY reads the SAME
+#: path, so the oracle is only meaningful after q_metrics_summary ran in
+#: this process — which is exactly the driver's query-then-oracle order;
+#: both strings are built at import time so they cannot drift apart.
+METRICS_DEMO_BASE = _os.path.join(
+    _tempfile.gettempdir(), f"dots_ocr_spark_lineage_demo_{_os.getpid()}")
 
 
 def q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 — per-run metrics rollup from the checkpoint LINEAGE table:
     runs the checkpointed extraction (bucket lineage + dynamic partition
     overwrite, checkpoint.run_extraction) over the multi-page interleaved
-    corpus into a fixed scratch location, then aggregates the per-bucket
-    lineage rows exactly as the reference rolls up task stats
+    corpus into a per-process scratch location, then aggregates the
+    per-bucket lineage rows exactly as the reference rolls up task stats
     (/root/reference/app/utils/executor/stats.py:22-41). The oracle reads
     the SAME lineage parquet, independently verifying the rollup."""
     import shutil

@@ -42,12 +42,16 @@ BITS_PER_TABLE = 12
 N_TABLES = 8
 N_PLANES = N_TABLES * BITS_PER_TABLE
 
-#: skew guard shared with the text-LSH family (dedup.cap_buckets):
-#: buckets holding more vectors than this are dropped from pair
-#: enumeration so a degenerate bucket (e.g. a zero/constant-embedding
-#: cluster) cannot go quadratic. Members still pair through the other
-#: N_TABLES-1 tables.
-from .dedup import MAX_BUCKET_MEMBERS, cap_buckets  # noqa: E402
+#: skew guard shared with the text-LSH family
+#: (dedup.lsh_candidate_pairs): buckets holding more vectors than the
+#: cap (e.g. a zero/constant-embedding cluster) degrade from all-pairs
+#: to O(k) star pairing against the bucket min, so a degenerate bucket
+#: cannot go quadratic yet its cluster still collapses downstream.
+from .dedup import (  # noqa: E402
+    MAX_BUCKET_MEMBERS,
+    _oracle_pair_sql,
+    lsh_candidate_pairs,
+)
 
 
 def _plane_component(p: int, d: int) -> float:
@@ -205,12 +209,12 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str,
     demonstrated by the planted-duplicate test in
     tests/test_dedup_similarity.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = cap_buckets(embed_ann_buckets(spark, sf_dir), "lsh_table", "bucket")
     cand = (
-        b.alias("a").join(b.alias("c"), ["lsh_table", "bucket"])
-        .where(F.col("a.vec_id") < F.col("c.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_i"),
-                F.col("c.vec_id").alias("vec_j"))
+        lsh_candidate_pairs(
+            embed_ann_buckets(spark, sf_dir), "lsh_table", "bucket",
+            id_col="vec_id")
+        .select(F.col("id_i").alias("vec_i"),
+                F.col("id_j").alias("vec_j"))
         .distinct()
     )
     ei = emb.select(F.col("vec_id").alias("vec_i"),
@@ -387,16 +391,15 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 ORACLE_EMBED_NEARDUP = f"""
 WITH b_all AS ({ORACLE_EMBED_ANN_BUCKETS}),
 b AS (
-  SELECT vec_id, lsh_table, bucket
-  FROM (SELECT vec_id, lsh_table, bucket,
-               count(*) OVER (PARTITION BY lsh_table, bucket) AS bn
-        FROM b_all)
-  WHERE bn <= {MAX_BUCKET_MEMBERS}
+  SELECT vec_id, lsh_table, bucket,
+         count(*) OVER (PARTITION BY lsh_table, bucket) AS bn,
+         min(vec_id) OVER (PARTITION BY lsh_table, bucket) AS bmin
+  FROM b_all
 ),
 cand AS (
-  SELECT DISTINCT a.vec_id AS vec_i, c.vec_id AS vec_j
-  FROM b a JOIN b c ON a.lsh_table = c.lsh_table AND a.bucket = c.bucket
-  WHERE a.vec_id < c.vec_id
+  SELECT DISTINCT id_i AS vec_i, id_j AS vec_j
+  FROM ({_oracle_pair_sql("b", "lsh_table", "bucket", id_col="vec_id")}
+  )
 )
 SELECT cand.vec_i, cand.vec_j,
        list_dot_product(CAST(ei.embedding AS DOUBLE[]), CAST(ej.embedding AS DOUBLE[]))

@@ -54,6 +54,29 @@ def stream_extract(
     return writer.start()
 
 
+def _keep_min_doc_id(key, pdf_iter, state):
+    """applyInPandasWithState body for streaming exact dedup: one state
+    row per content hash. The FIRST micro-batch carrying the hash emits
+    exactly one row — the min doc_id across the whole micro-batch, the
+    batch A8 keep-first rule, so the winner is DETERMINISTIC across
+    runs (a bare ``dropDuplicates`` keeps whichever partition's row
+    wins, which flakes any stream-vs-batch parity compare). Later
+    batches emit nothing for a seen hash."""
+    best = None
+    for pdf in pdf_iter:
+        if state.exists or len(pdf) == 0:
+            continue
+        ids = pdf["doc_id"].tolist()
+        j = min(range(len(ids)), key=ids.__getitem__)
+        cand = pdf.iloc[[j]]
+        if best is None or cand["doc_id"].iloc[0] < best["doc_id"].iloc[0]:
+            best = cand
+    if state.exists or best is None:
+        return
+    state.update((1,))
+    yield best.drop(columns=["content_md5"])
+
+
 def stream_dedup_extract(
     spark: SparkSession,
     input_dir: str,
@@ -64,26 +87,25 @@ def stream_dedup_extract(
 ) -> StreamingQuery:
     """Streaming exact-dedup in front of extraction: exactly one
     document per distinct page content survives, incrementally.
-    ``dropDuplicates`` on the content hash keeps state across
-    micro-batches (backed by the state store and the exactly-once
-    checkpoint), so a document whose identical content already streamed
-    through ANY earlier batch is dropped before the (expensive) parse
-    runs — the streaming complement of the batch
-    ``dedup_exact``/``dedup_survivors`` pipeline. Semantics vs batch A8:
-    across batches the EARLIER arrival wins; within one micro-batch the
-    surviving row of a duplicate cluster is arbitrary (Spark's
-    dropDuplicates keeps whichever partition's row wins), unlike the
-    batch keep-first-by-doc_id rule — content-level dedup is still
-    exact either way.
+    A stateful per-hash group (``applyInPandasWithState``, backed by
+    the state store and the exactly-once checkpoint) drops a document
+    whose identical content already streamed through ANY earlier batch
+    before the (expensive) parse runs — the streaming complement of
+    the batch ``dedup_exact``/``dedup_survivors`` pipeline. Semantics
+    vs batch A8: within a micro-batch the min doc_id wins
+    (deterministic, equal to the batch keep-first rule); across batches
+    the earlier arrival wins (the incremental contract — a later batch
+    cannot retract an already-emitted row).
 
-    State note for long-running tailers: an unwatermarked dropDuplicates
-    keeps one state row per distinct hash forever — that IS exact
-    global dedup (the training-data contract: a dup is a dup no matter
-    how old). Cap memory on an unbounded stream by compacting the corpus
-    periodically or switching to dropDuplicatesWithinWatermark when the
-    product only needs near-time dedup.
+    State note for long-running tailers: the unwatermarked state keeps
+    one row per distinct hash forever — that IS exact global dedup (the
+    training-data contract: a dup is a dup no matter how old). Cap
+    memory on an unbounded stream by compacting the corpus periodically
+    or switching to a watermarked variant when the product only needs
+    near-time dedup.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     reader = (
         spark.readStream.schema(schemas.INPUT)
@@ -95,8 +117,14 @@ def stream_dedup_extract(
 
     deduped = (
         docs.withColumn("content_md5", F.md5(F.to_json("pages")))
-        .dropDuplicates(["content_md5"])
-        .drop("content_md5")
+        .groupBy("content_md5")
+        .applyInPandasWithState(
+            _keep_min_doc_id,
+            outputStructType=schemas.INPUT,
+            stateStructType="seen int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
     out = pipeline.extract_fused(deduped)
 

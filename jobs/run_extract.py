@@ -80,8 +80,15 @@ def main() -> int:
                 checkpoint.metrics_summary(spark, args.output).collect()]
     finally:
         # persist the trace even (especially) when the run failed — the
-        # error spans are the post-mortem; lands next to the lineage table
-        tracer.write_metrics(f"{args.output}/_trace")
+        # error spans are the post-mortem; lands next to the lineage
+        # table. Never let a failing trace write (e.g. the very
+        # unwritable output path that killed the run) replace the
+        # primary exception — losing the post-mortem the persistence
+        # exists to provide.
+        try:
+            tracer.write_metrics(f"{args.output}/_trace")
+        except Exception as trace_err:  # noqa: BLE001
+            print(f"trace write failed: {trace_err!r}", file=sys.stderr)
     res["trace_spans"] = len(tracer.spans)
     print(json.dumps(res, default=str))
     spark.stop()

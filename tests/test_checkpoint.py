@@ -120,3 +120,21 @@ def test_metrics_summary(spark, docs, tmp_path):
     assert m[0]["n_docs"] == N_DOCS
     assert m[0]["n_buckets"] == 8
     assert m[0]["n_spans"] > 0
+
+
+def test_q_metrics_summary_repeat_invocations_isolated(spark):
+    """The registered metrics demo uses a per-process scratch dir: two
+    back-to-back invocations must not interfere, and the import-time
+    oracle must read the same path the query wrote."""
+    import duckdb
+
+    from dots_ocr_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    r1 = {tuple(r) for r in Q.q_metrics_summary(spark, sf).collect()}
+    r2 = {tuple(r) for r in Q.q_metrics_summary(spark, sf).collect()}
+    assert r1 == r2
+    exp = {tuple(r)
+           for r in duckdb.connect().execute(Q.ORACLE_METRICS_SUMMARY).fetchall()}
+    assert r1 == exp
+    assert "/root/repo/" not in Q.METRICS_DEMO_BASE  # relocatable scratch

@@ -182,19 +182,41 @@ def test_jaccard_pairs_survive_short_docs(spark, tmp_path):
 
 def test_jaccard_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
     """Adversarial near-constant corpus: many near-identical (but not
-    byte-identical) docs land in one LSH bucket. The bucket-size cap must
-    keep candidate enumeration sub-quadratic instead of emitting k²/2
-    pairs from the degenerate bucket."""
+    byte-identical) docs land in one LSH bucket — in BOTH bands, so a
+    cap that simply dropped oversized buckets would let exactly the
+    most-duplicated content escape near-dup dedup entirely. The star
+    degrade must (a) keep enumeration sub-quadratic, (b) still collapse
+    the cluster, (c) value-match the DuckDB oracle on the star path
+    (which the sf0.001 corpus never exercises)."""
     base = "the quick brown fox jumps over the lazy dog again and again"
     rows = [(i, f"{base} tail{i}") for i in range(300)]
     d = str(tmp_path / "skewdocs")
     spark.createDataFrame(rows, "doc_id long, text string") \
         .write.parquet(f"{d}/documents.parquet")
-    n = D.jaccard_pairs(spark, d).count()
-    # uncapped this corpus yields ~300*299/2 ≈ 45k candidate pairs; the
-    # cap bounds any single bucket's contribution at CAP²/2
+    got = {(r["doc_i"], r["doc_j"])
+           for r in D.jaccard_pairs(spark, d).collect()}
+    # sub-quadratic: uncapped this corpus yields ~300*299/2 ≈ 45k pairs;
+    # star pairing bounds each oversized bucket at k-1
     cap = D.MAX_BUCKET_MEMBERS
-    assert n <= 2 * cap * (cap - 1) // 2, f"bucket cap ineffective: {n} pairs"
+    assert 0 < len(got) <= 2 * cap * (cap - 1) // 2, len(got)
+    # the cluster collapses: every bucket member except representatives
+    # is a doc_j of some verified pair, so survivors ≪ corpus
+    survivors = D.dedup_survivors(spark, d).count()
+    assert survivors < 100, f"{survivors} of 300 boilerplate docs survived"
+    # oracle parity on the star path
+    c = duckdb.connect()
+    c.execute("CREATE VIEW documents AS "
+              f"SELECT * FROM '{d}/documents.parquet/*.parquet'")
+    exp = {(r[0], r[1])
+           for r in c.execute(D.ORACLE_JACCARD_PAIRS).fetchall()}
+    assert got == exp, (
+        f"spark-only={sorted(got - exp)[:3]} oracle-only={sorted(exp - got)[:3]}")
+    # simhash family: same corpus, same degenerate-bucket shape — checks
+    # the payload-carrying star leg (arg_min window) against its oracle
+    sh_got = {tuple(r) for r in D.simhash_neardup_pairs(spark, d).collect()}
+    sh_exp = {tuple(r) for r in c.execute(D.ORACLE_SIMHASH_NEARDUP).fetchall()}
+    assert sh_got == sh_exp
+    assert len({j for _, j, _ in sh_got}) > 200, "simhash star leg inert"
 
 
 def test_ann_recall_on_planted_neardups(spark, tmp_path):

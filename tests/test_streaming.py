@@ -83,3 +83,25 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, dirs):
     assert not {i for i in ids if i.startswith("copy-")}
     assert len(ids) == 60 + 20
     assert out.count() == 80
+
+
+def test_stream_dedup_winner_is_min_doc_id(spark, dirs):
+    """Within one micro-batch the duplicate-cluster survivor must be the
+    MIN doc_id (the batch A8 keep-first rule) — deterministic across
+    runs, so stream-vs-batch parity compares cannot flake."""
+    from dots_ocr_spark.streaming import stream_dedup_extract
+
+    input_dir, output_dir, ckpt = dirs
+    base = pipeline.generate_input(spark, 20, partitions=2)
+    zz = base.withColumn("doc_id", F.concat(F.lit("zz-"), "doc_id"))
+    aa = base.withColumn("doc_id", F.concat(F.lit("aa-"), "doc_id"))
+    base.unionByName(zz).unionByName(aa) \
+        .write.mode("append").parquet(input_dir)
+
+    q = stream_dedup_extract(spark, input_dir, output_dir, ckpt)
+    q.awaitTermination(120)
+
+    ids = sorted(r["doc_id"] for r in
+                 spark.read.parquet(output_dir).select("doc_id").collect())
+    assert len(ids) == 20
+    assert all(i.startswith("aa-") for i in ids), ids[:5]
