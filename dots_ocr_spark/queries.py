@@ -32,6 +32,7 @@ from .sources.ingest import (
     interleaved_from_text,
     interleaved_multipage,
     interleaved_toc,
+    interleaved_twocol,
     interleaved_wordgrain,
 )
 
@@ -364,6 +365,97 @@ FROM ex e JOIN docmd dm ON e.doc_id = dm.doc_id
 """
 
 
+def q_extract_twocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 multi-column reading order + F3 nohf filter under the value
+    oracle: two-column pages whose payload lists cells in a DIFFERENT
+    order (footer first, columns interleaved, header last) than the
+    reading order the XY-cut must produce (header, left column
+    top-to-bottom, right column, footer). The oracle predicts the
+    permuted span sequence, the full markdown, and the
+    header/footer-free markdown (``sources.ingest.interleaved_twocol``;
+    reference layout_service.py:187-235, format_transformer.py:164-165).
+    """
+    docs = interleaved_twocol(_read(spark, sf_dir, "documents"))
+    out = pipeline.extract(docs)
+    return out.select(
+        "doc_id",
+        F.explode("spans").alias("s"),
+        F.md5("markdown").alias("markdown_md5"),
+        F.md5("markdown_nohf").alias("markdown_nohf_md5"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.md5(F.col("s.text")).alias("content_md5"),
+        "markdown_md5",
+        "markdown_nohf_md5",
+    )
+
+
+ORACLE_EXTRACT_TWOCOL = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(ceil(n / {ingest.MP_CHUNK_WORDS}.0) AS INT) AS n_chunks,
+         [array_to_string(toks[(i*{ingest.MP_CHUNK_WORDS}+1):least((i+1)*{ingest.MP_CHUNK_WORDS}, n)], ' ')
+          FOR i IN range(0, CAST(ceil(n / {ingest.MP_CHUNK_WORDS}.0) AS INT))] AS chunks
+  FROM t
+), pg AS (
+  SELECT doc_id, n_chunks, chunks,
+         unnest(range(0, CAST(ceil(n_chunks / {ingest.TC_CHUNKS_PER_PAGE}.0) AS INT))) AS page_no
+  FROM c
+), psc AS (
+  SELECT doc_id, page_no,
+         chunks[(page_no*{ingest.TC_CHUNKS_PER_PAGE}+1):least((page_no+1)*{ingest.TC_CHUNKS_PER_PAGE}, n_chunks)] AS pchunks,
+         'hd ' || substring(md5(doc_id || ':ph:' || page_no), 1, 8) AS hd,
+         'ft ' || substring(md5(doc_id || ':pf:' || page_no), 1, 8) AS ft
+  FROM pg
+), rord AS (
+  -- reading order: left column (payload-even chunks) rows
+  -- top-to-bottom, then right column (payload-odd chunks)
+  SELECT doc_id, page_no, hd, ft,
+         list_concat(
+           [pchunks[i] FOR i IN range(1, len(pchunks)+1) IF i % 2 = 1],
+           [pchunks[i] FOR i IN range(1, len(pchunks)+1) IF i % 2 = 0]
+         ) AS body
+  FROM psc
+), pspans AS (
+  SELECT doc_id, page_no,
+         list_concat(list_concat(
+           [{{'kind': 'page-header', 'content': hd}}],
+           [{{'kind': 'text', 'content': b}} FOR b IN body]),
+           [{{'kind': 'page-footer', 'content': ft}}]) AS spans,
+         array_to_string(list_concat(list_concat([hd], body), [ft]),
+                         chr(10)||chr(10)) || chr(10)||chr(10) AS pmd,
+         array_to_string(body, chr(10)||chr(10)) || chr(10)||chr(10)
+           AS pmd_nohf
+  FROM rord
+), docmd AS (
+  SELECT doc_id,
+         md5(string_agg(pmd, '' ORDER BY page_no)) AS markdown_md5,
+         md5(string_agg(pmd_nohf, '' ORDER BY page_no))
+           AS markdown_nohf_md5
+  FROM pspans GROUP BY doc_id
+), ex AS (
+  SELECT doc_id, page_no,
+         unnest([{{'j': j, 's': spans[j]}} FOR j IN range(1, len(spans)+1)]) AS u
+  FROM pspans
+)
+SELECT e.doc_id,
+       CAST(row_number() OVER (PARTITION BY e.doc_id ORDER BY e.page_no, e.u.j) - 1
+            AS BIGINT) AS "offset",
+       e.u.s.kind AS kind,
+       md5(e.u.s.content) AS content_md5,
+       dm.markdown_md5 AS markdown_md5,
+       dm.markdown_nohf_md5 AS markdown_nohf_md5
+FROM ex e JOIN docmd dm ON e.doc_id = dm.doc_id
+"""
+
+
 def q_crop_merge_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — crop-merge extent planning, distributed: per source group,
     the merged canvas is max(width) × sum(height) and each crop's bottom
@@ -598,10 +690,30 @@ SELECT doc_id, md5(trim(text)) AS fingerprint FROM documents
 """
 
 
-#: winnowing parameters: k-gram size and window width (MOSS defaults
-#: scaled to the short synthetic docs)
-WINNOW_K = 8
-WINNOW_W = 4
+#: winnowing parameters — single source of truth in the spec module
+#: (shared by the mapInPandas leg, the exploded SQL leg, the pytest
+#: oracle, and the DuckDB oracle strings)
+from .spec.winnow import WINNOW_K, WINNOW_W  # noqa: E402
+from .spec import winnow as _winnow_spec  # noqa: E402
+
+
+def _winnow_batches(batches):
+    """mapInPandas worker: per-document winnowing via the shared spec —
+    the whole k-gram/window-min selection is document-local, so it runs
+    inside the scan task and the job has ZERO exchanges."""
+    import pandas as pd
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_fingerprints": [], "fingerprints_md5": []}
+        for doc_id, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+            sel = _winnow_spec.winnow_select(text)
+            if not sel:
+                continue
+            out["doc_id"].append(doc_id)
+            out["n_fingerprints"].append(len(sel))
+            out["fingerprints_md5"].append(_winnow_spec.fingerprints_md5(sel))
+        if out["doc_id"]:
+            yield pd.DataFrame(out)
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,11 +724,28 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     yields at least one shared fingerprint — the content-overlap
     detector exact hashing can't provide.
 
-    Shape: explode gram positions → codegen'd substring+md5 → sliding
-    MIN window partitioned by doc → distinct-set aggregate. One row per
-    character is fine at these document lengths; for book-length docs
-    the same spec runs per-doc inside mapInPandas instead of exploding
-    (the usual row-blowup trade)."""
+    SCALE-SAFE shape: the selection is document-local, so it runs
+    per-doc inside ``mapInPandas`` (shared spec ``spec/winnow.py``) and
+    the job is scan → mapInPandas — zero exchanges, output already at
+    document grain. The exploded SQL-window form
+    (:func:`q_winnow_fingerprints_exploded`) shuffles ONE ROW PER
+    CHARACTER through a per-doc sort — ~10^14 window rows at 100 TB —
+    and is kept as the small-doc demo / cross-shape parity check."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    return d.mapInPandas(
+        _winnow_batches,
+        schema="doc_id long, n_fingerprints long, fingerprints_md5 string",
+    )
+
+
+def q_winnow_fingerprints_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same winnowing spec as JVM expressions: explode gram
+    positions → codegen'd substring+md5 → sliding MIN window partitioned
+    by doc → distinct-set aggregate. One row per character is fine at
+    these document lengths and gives the external oracle a second,
+    independently-shaped implementation to agree with; the registered
+    production leg is the zero-exchange ``q_winnow_fingerprints``."""
     k, w = WINNOW_K, WINNOW_W
     d = _read(spark, sf_dir, "documents").where(F.length("text") >= k + w - 1)
     m = (F.length("text") - (k - 1)).alias("m")  # number of grams
@@ -1207,6 +1336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_from_corpus": q_extract_from_corpus,
     "extract_wordgrain": q_extract_wordgrain,
     "extract_toc": q_extract_toc,
+    "extract_twocol": q_extract_twocol,
     "metrics_summary": q_metrics_summary,
     "ingest_gate": q_ingest_gate,
     "crop_merge_extents": q_crop_merge_extents,
@@ -1214,6 +1344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats_bpe": q_token_stats_bpe,
     "fingerprint": q_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_fingerprints_exploded": q_winnow_fingerprints_exploded,
     "langid": q_langid,
     "quality_score": q_quality_score,
     "dedup_exact": q_dedup_exact,
@@ -1252,6 +1383,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
     "extract_wordgrain": ORACLE_EXTRACT_WORDGRAIN,
     "extract_toc": ORACLE_EXTRACT_TOC,
+    "extract_twocol": ORACLE_EXTRACT_TWOCOL,
     "metrics_summary": ORACLE_METRICS_SUMMARY,
     "ingest_gate": ORACLE_INGEST_GATE,
     "crop_merge_extents": ORACLE_CROP_MERGE,
@@ -1259,6 +1391,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_stats_bpe": ORACLE_TOKEN_STATS_BPE,
     "fingerprint": ORACLE_FINGERPRINT,
     "winnow_fingerprints": ORACLE_WINNOW,
+    "winnow_fingerprints_exploded": ORACLE_WINNOW,
     "langid": ORACLE_LANGID,
     "quality_score": ORACLE_QUALITY,
     "dedup_exact": ORACLE_DEDUP_EXACT,

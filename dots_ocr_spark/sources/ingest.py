@@ -405,6 +405,120 @@ def interleaved_toc(docs: DataFrame, doc_id_col: str = "doc_id",
     )
 
 
+# ---- two-column generator knobs (interleaved_twocol) ----------------------
+#: body chunks per page (2 columns × up to 2 rows)
+TC_CHUNKS_PER_PAGE = 4
+#: column x-extents: left 100-800, right 900-1600 — the 100px gap at
+#: x=800-900 is what the XY-cut's vertical projection finds
+TC_LCOL_X, TC_RCOL_X, TC_COL_W = 100, 900, 700
+#: Page-header / Page-footer bands (top and bottom of the page)
+TC_HDR_BBOX = (100, 40, PAGE_W - 100, 100)
+TC_FTR_BBOX = (100, 2100, PAGE_W - 100, 2160)
+
+
+def interleaved_twocol(docs: DataFrame, doc_id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Flat corpus → multi-page interleaved docs whose pages are
+    TWO-COLUMN layouts with a Page-header and Page-footer, emitted in a
+    payload order that DIFFERS from reading order — so the O1 XY-cut
+    column detection (reference layout_service.py:187-235's learned
+    ordering, rebuilt as the deterministic recursive cut) and the
+    headers-first/footers-last convention are value-checked by the
+    external oracle instead of only the pytest golden gate.
+
+    Per page:
+
+      * body chunks fill the grid column-interleaved — chunk c sits in
+        column ``c % 2`` (left/right), row ``c // 2`` — so the payload
+        sequence L0,R0,L1,R1 must be PERMUTED to L0,L1,R0,R1 by the
+        vertical-cut-first recursion (the 100px x-gap between columns
+        is the cut; y-gaps order rows within each column);
+      * the payload lists the Page-footer FIRST and the Page-header
+        LAST; reading order must put the header first and the footer
+        last regardless (spec/xycut.reading_order);
+      * header/footer texts are md5-drawn, so every span, the document
+        markdown, AND the header/footer-free markdown (F3 — the nohf
+        variant drops exactly those two cells) are SQL-predictable.
+    """
+    did = F.col(doc_id_col).cast("string")
+    marked = F.regexp_replace(
+        F.col(text_col),
+        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
+        "$1\u0001",
+    )
+    chunks = F.split(marked, "\u0001")
+    n_chunks = F.size(chunks)
+    n_pages = F.ceil(n_chunks / F.lit(TC_CHUNKS_PER_PAGE)).cast("int")
+
+    hx1, hy1, hx2, hy2 = TC_HDR_BBOX
+    fx1, fy1, fx2, fy2 = TC_FTR_BBOX
+
+    def _page(chunks_col: Column, did_col: Column):
+        def build(p: Column) -> Column:
+            hd = F.concat(
+                F.lit("hd "),
+                F.substring(F.md5(F.concat(did_col, F.lit(":ph:"),
+                                           p.cast("string"))), 1, 8))
+            ft = F.concat(
+                F.lit("ft "),
+                F.substring(F.md5(F.concat(did_col, F.lit(":pf:"),
+                                           p.cast("string"))), 1, 8))
+            pchunks = F.slice(
+                chunks_col, p * TC_CHUNKS_PER_PAGE + 1, TC_CHUNKS_PER_PAGE)
+            text_cells = F.transform(
+                pchunks,
+                lambda ch, j: F.struct(
+                    F.array(
+                        F.lit(TC_LCOL_X)
+                        + (j % 2) * (TC_RCOL_X - TC_LCOL_X),
+                        F.lit(BODY_TOP)
+                        + (j - j % 2) / 2 * (BLOCK_H + BLOCK_GAP),
+                        F.lit(TC_LCOL_X + TC_COL_W)
+                        + (j % 2) * (TC_RCOL_X - TC_LCOL_X),
+                        F.lit(BODY_TOP)
+                        + (j - j % 2) / 2 * (BLOCK_H + BLOCK_GAP) + BLOCK_H,
+                    ).cast("array<int>").alias("bbox"),
+                    F.lit("Text").alias("category"),
+                    ch.alias("text"),
+                ),
+            )
+            ftr_cell = F.struct(
+                F.array(F.lit(fx1), F.lit(fy1), F.lit(fx2), F.lit(fy2))
+                 .alias("bbox"),
+                F.lit("Page-footer").alias("category"),
+                ft.alias("text"),
+            )
+            hdr_cell = F.struct(
+                F.array(F.lit(hx1), F.lit(hy1), F.lit(hx2), F.lit(hy2))
+                 .alias("bbox"),
+                F.lit("Page-header").alias("category"),
+                hd.alias("text"),
+            )
+            cells = F.concat(
+                F.array(ftr_cell), text_cells, F.array(hdr_cell))
+            return F.struct(
+                p.cast("int").alias("page_no"),
+                F.lit(PAGE_W).alias("width"),
+                F.lit(PAGE_H).alias("height"),
+                F.lit(1.0).alias("scale_factor"),
+                F.to_json(cells).alias("payload"),
+                F.lit(None).cast("string").alias("toc_json"),
+                F.lit(None).cast("string").alias("words_json"),
+            )
+
+        return build
+
+    pages = F.transform(
+        F.sequence(F.lit(0), n_pages - 1), _page(chunks, did))
+    return docs.select(
+        did.alias("doc_id"),
+        F.array().cast(_EMPTY_SPANS).alias("spans"),
+        pages.alias("pages"),
+        n_pages.alias("n_pages"),
+        F.lit("normal").alias("size_class"),
+    )
+
+
 def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """Flat corpus → single-page interleaved docs whose Text cells carry

@@ -256,3 +256,26 @@ def test_ivf_assign_plan_has_no_window_sort(spark):
     plan = S.ivf_assign(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "BroadcastExchange" in plan  # centroids broadcast, corpus scanned once
+
+
+def test_winnow_shapes_agree(spark):
+    """The zero-exchange mapInPandas winnowing leg and the exploded
+    SQL-window leg share one spec (spec/winnow.py) and must produce
+    identical fingerprints, row for row."""
+    from dots_ocr_spark import queries as Q
+
+    a = {tuple(r) for r in Q.q_winnow_fingerprints(spark, SF).collect()}
+    b = {tuple(r)
+         for r in Q.q_winnow_fingerprints_exploded(spark, SF).collect()}
+    assert a == b and len(a) == 500
+
+
+def test_winnow_spec_shared_substring_guarantee():
+    """Property the algorithm exists for: two texts sharing a substring
+    of length >= K+W-1 share at least one fingerprint."""
+    from dots_ocr_spark.spec.winnow import WINNOW_K, WINNOW_W, winnow_select
+
+    shared = "abcdefghijklmnopqrstuvwxyz"[: WINNOW_K + WINNOW_W - 1]
+    t1 = "PREFIXONE " + shared + " SUFFIXONE"
+    t2 = "zz " + shared + " qq tail here"
+    assert set(winnow_select(t1)) & set(winnow_select(t2))

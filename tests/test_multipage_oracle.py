@@ -13,6 +13,7 @@ from dots_ocr_spark import queries as Q
 from dots_ocr_spark.sources.ingest import (
     interleaved_multipage,
     interleaved_toc,
+    interleaved_twocol,
     interleaved_wordgrain,
 )
 
@@ -80,6 +81,40 @@ def test_toc_rebuild_exercises_every_level_path(spark):
     assert any(t.startswith("li ") for t in texts)
 
 
+def test_extract_twocol_matches_oracle(spark, con):
+    rows = _match(spark, con, Q.q_extract_twocol, Q.ORACLE_EXTRACT_TWOCOL)
+    kinds = {r[2] for r in rows}
+    assert kinds == {"page-header", "text", "page-footer"}, kinds
+
+
+def test_twocol_order_differs_from_payload_order(spark):
+    """The whole point of the two-column input: the emitted span
+    sequence must be a nontrivial PERMUTATION of the payload cell order
+    (payload: footer, L0,R0,L1,R1, header; reading order: header,
+    L0,L1,R0,R1, footer)."""
+    import json
+
+    docs = interleaved_twocol(
+        spark.read.parquet(f"{SF}/documents.parquet").limit(50))
+    for row in pipeline.extract(docs).collect():
+        page0 = row["pages"][0] if "pages" in row else None
+        kinds = [s["kind"] for s in row["spans"]]
+        assert kinds[0] == "page-header"  # payload had the footer first
+        n0 = kinds.index("page-footer")
+        assert kinds[1:n0] == ["text"] * (n0 - 1)
+    # span text order == column-major chunk order on a known doc
+    (row,) = pipeline.extract(interleaved_twocol(
+        spark.createDataFrame(
+            [(1, " ".join(f"w{i:02d}" for i in range(40)))],
+            "doc_id long, text string"))).collect()
+    texts = [s["text"] for s in row["spans"] if s["kind"] == "text"]
+    chunks = [" ".join(f"w{i:02d}" for i in range(c * 10, c * 10 + 10))
+              for c in range(4)]
+    # payload interleaves L,R,L,R = chunks 0,1,2,3; reading order is
+    # left column (0,2) then right column (1,3)
+    assert texts == [chunks[0], chunks[2], chunks[1], chunks[3]]
+
+
 def _fingerprint(df):
     rows = df.select(
         "doc_id", "n_spans", "status", F.md5("markdown").alias("m")
@@ -109,7 +144,8 @@ def test_wordgrain_tall_doc_keeps_every_word(spark, tmp_path):
 
 @pytest.mark.parametrize("mode", ["paged", "scatter"])
 @pytest.mark.parametrize(
-    "gen", [interleaved_multipage, interleaved_toc, interleaved_wordgrain])
+    "gen", [interleaved_multipage, interleaved_toc, interleaved_twocol,
+            interleaved_wordgrain])
 def test_generated_input_modes_agree(spark, mode, gen):
     """All three physical strategies must produce identical documents on
     the generated inputs (fused is the baseline) — including the

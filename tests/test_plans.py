@@ -101,3 +101,14 @@ def test_aggregation_is_partial_before_shuffle(spark):
     # the exchange's child in the plan tree is the partial HashAggregate
     assert re.search(r"Exchange \(\d+\)\s*\n\s*\+- HashAggregate", plan), plan
     assert "LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_winnow_registered_leg_is_zero_shuffle(spark):
+    """The registered winnowing query must be the mapInPandas shape
+    (document-local selection, no exchange anywhere); the exploded
+    window demo is the one allowed to shuffle per-character rows."""
+    plan = _plan(Q.QUERIES["winnow_fingerprints"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    m = re.search(r"ReadSchema: [^\n]*", plan)
+    assert m and "lang" not in m.group(0) and "source" not in m.group(0), plan
