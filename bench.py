@@ -40,6 +40,11 @@ def build_spark(cpus: int):
     )
 
 
+# NOTE (round-over-round comparability): this list is append-only within
+# a round series and every query's INPUT construction is frozen — the
+# bench JSON records per-query output row counts (``query_rows``) so a
+# changed input is immediately visible as a row-count shift rather than
+# a silent timing discontinuity (the r01→r02 ambiguity).
 HEADLINE = [
     "extract_spans",
     "extract_docs",
@@ -64,6 +69,11 @@ HEADLINE = [
     "event_value_rollup",
     "asof_click_before_error",
     "sessionize",
+    # round-3 additions (appended; earlier entries unchanged)
+    "extract_wordgrain",
+    "extract_toc",
+    "extract_twocol",
+    "winnow_fingerprints",
 ]
 
 
@@ -118,6 +128,10 @@ def main() -> None:
         "cpus": cpus,
         "extract_spans_rows": rows.get("extract_spans", 0),
         "extract_docs_per_sec": round(rows.get("extract_docs", 0) / flagship_t, 2),
+        # per-query output row counts: freezes the input contract — a
+        # row-count shift flags an input change that would make timings
+        # non-comparable across rounds
+        "query_rows": rows,
     }
     print(json.dumps(out))
     spark.stop()

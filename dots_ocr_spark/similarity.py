@@ -128,7 +128,8 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= {TOP_K}
 PLANES_PER_TABLE = BITS_PER_TABLE  # back-compat alias
 
 
-def embed_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_ann_buckets(spark: SparkSession, sf_dir: str,
+                      n_tables: int = N_TABLES) -> DataFrame:
     """(vec_id, lsh_table, bucket) — banded sign-LSH: N_TABLES tables of
     BITS_PER_TABLE hyperplanes each. A single H-bit code has ~p^H
     recall for near-neighbors (p = 1 - θ/π per bit); with B bands of r
@@ -145,10 +146,16 @@ def embed_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer: measured 9.5s -> ~1s at sf0.1. Engine parity holds because
     the exploded products reach the partial aggregator in dimension
     order within one scan task, so the double sum accumulates in exactly
-    the oracle's list_dot_product sequence."""
+    the oracle's list_dot_product sequence.
+
+    ``n_tables`` is the recall/cost dial (default = the registered
+    8-table shape): recall on near-dups is 1-(1-p^r)^n_tables while
+    candidate volume grows ~linearly in tables — the measured curve is
+    in BENCH/BASELINE.md (tools/bench_ann_recall.py)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_planes = n_tables * BITS_PER_TABLE
     planes_df = emb.sparkSession.createDataFrame(
-        [(p, d, PLANES[p][d]) for p in range(N_PLANES) for d in range(DIM)],
+        [(p, d, PLANES[p][d]) for p in range(n_planes) for d in range(DIM)],
         "p int, d int, v double",
     )
     prod = (
@@ -198,8 +205,25 @@ ORACLE_EMBED_ANN_BUCKETS = f"""
 """
 
 
+def embed_ann_candidates(spark: SparkSession, sf_dir: str,
+                         n_tables: int = N_TABLES) -> DataFrame:
+    """Distinct LSH candidate pairs (pre-verify): bucket mates in ANY of
+    the first ``n_tables`` tables, degenerate buckets star-degraded.
+    This is the cost side of the recall/cost dial — every candidate
+    pays one exact-cosine verification downstream."""
+    return (
+        lsh_candidate_pairs(
+            embed_ann_buckets(spark, sf_dir, n_tables=n_tables),
+            "lsh_table", "bucket", id_col="vec_id")
+        .select(F.col("id_i").alias("vec_i"),
+                F.col("id_j").alias("vec_j"))
+        .distinct()
+    )
+
+
 def embed_neardup_pairs(spark: SparkSession, sf_dir: str,
-                        threshold: float = 0.3) -> DataFrame:
+                        threshold: float = 0.3,
+                        n_tables: int = N_TABLES) -> DataFrame:
     """Near-duplicate vector pairs: banded-LSH candidates (bucket mates
     in ANY table, deduplicated, degenerate buckets capped) verified by
     exact cosine >= threshold. On a corpus WITHOUT true near-duplicates
@@ -209,14 +233,7 @@ def embed_neardup_pairs(spark: SparkSession, sf_dir: str,
     demonstrated by the planted-duplicate test in
     tests/test_dedup_similarity.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cand = (
-        lsh_candidate_pairs(
-            embed_ann_buckets(spark, sf_dir), "lsh_table", "bucket",
-            id_col="vec_id")
-        .select(F.col("id_i").alias("vec_i"),
-                F.col("id_j").alias("vec_j"))
-        .distinct()
-    )
+    cand = embed_ann_candidates(spark, sf_dir, n_tables=n_tables)
     ei = emb.select(F.col("vec_id").alias("vec_i"),
                     F.col("embedding").alias("ei"),
                     _norm(F.col("embedding")).alias("ni"))
@@ -312,11 +329,15 @@ SELECT vec_id, centroid_id, cos AS cosine FROM ranked WHERE rn = 1
 """
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(spark: SparkSession, sf_dir: str,
+             n_probe: int = N_PROBE) -> DataFrame:
     """IVF probe: each query vector (vec_id < N_QUERIES) searches only the
-    members of its N_PROBE nearest centroids' lists — exact cosine inside
-    the probed cells, top IVF_TOP_K. At scale this scans |probe lists|
-    instead of the corpus; the assignment table is the inverted file."""
+    members of its ``n_probe`` nearest centroids' lists — exact cosine
+    inside the probed cells, top IVF_TOP_K. At scale this scans
+    |probe lists| instead of the corpus; the assignment table is the
+    inverted file. ``n_probe`` is IVF's recall/cost dial (default = the
+    registered 2-probe shape): more probed cells = higher recall, more
+    exact-cosine work per query — measured curve in BENCH/BASELINE.md."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assign = ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
     cents = _centroids(emb)
@@ -332,7 +353,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (_dot(F.col("qe"), F.col("ce"))
                  / (F.col("q_norm") * F.col("c_norm"))).alias("ccos"))
         .withColumn("prn", F.row_number().over(probe_w))
-        .where(F.col("prn") <= N_PROBE)
+        .where(F.col("prn") <= n_probe)
         .select("query_id", "qe", "q_norm", "centroid_id")
     )
     members = assign.join(

@@ -219,17 +219,14 @@ def test_jaccard_bucket_cap_bounds_degenerate_buckets(spark, tmp_path):
     assert len({j for _, j, _ in sh_got}) > 200, "simhash star leg inert"
 
 
-def test_ann_recall_on_planted_neardups(spark, tmp_path):
-    """End-to-end LSH recall on TRUE near-duplicates: plant a perturbed
-    copy (cosine ≈ 0.995) of each of 100 corpus vectors; the banded LSH +
-    cosine verify must recover >= 85% of the planted pairs (theory: p/bit
-    ≈ 0.97 at θ ≈ 5.5° ⇒ table hit 0.97^12 ≈ 0.68 ⇒ 8-table recall ≈
-    1-(1-0.68)^8 ≈ 0.9999; the slack absorbs draw variance)."""
+def _plant_neardups(spark, base_dir, n=100, seed=7, src=None):
+    """Write an embeddings dir of n corpus vectors + one perturbed copy
+    each (cosine ≈ 0.995); returns (dir, planted pair set)."""
     import numpy as np
 
-    rows = spark.read.parquet(f"{SF}/embeddings.parquet") \
-        .orderBy("vec_id").limit(100).collect()
-    rng = np.random.default_rng(7)
+    rows = spark.read.parquet(f"{src or SF}/embeddings.parquet") \
+        .orderBy("vec_id").limit(n).collect()
+    rng = np.random.default_rng(seed)
     out = []
     for r in rows:
         v = np.asarray(r["embedding"], dtype=np.float32)
@@ -237,16 +234,61 @@ def test_ann_recall_on_planted_neardups(spark, tmp_path):
                            v.shape).astype(np.float32)
         out.append((int(r["vec_id"]), [float(x) for x in v]))
         out.append((int(r["vec_id"]) + 100_000, [float(x) for x in v + noise]))
-    d = str(tmp_path / "planted")
+    d = str(base_dir / "planted")
     spark.createDataFrame(out, "vec_id long, embedding array<float>") \
         .write.parquet(f"{d}/embeddings.parquet")
+    planted = {(int(r["vec_id"]), int(r["vec_id"]) + 100_000) for r in rows}
+    return d, planted
+
+
+def test_ann_recall_on_planted_neardups(spark, tmp_path):
+    """End-to-end LSH recall on TRUE near-duplicates: plant a perturbed
+    copy (cosine ≈ 0.995) of each of 100 corpus vectors; the banded LSH +
+    cosine verify must recover >= 85% of the planted pairs (theory: p/bit
+    ≈ 0.97 at θ ≈ 5.5° ⇒ table hit 0.97^12 ≈ 0.68 ⇒ 8-table recall ≈
+    1-(1-0.68)^8 ≈ 0.9999; the slack absorbs draw variance)."""
+    d, planted = _plant_neardups(spark, tmp_path)
     found = {
         (r["vec_i"], r["vec_j"])
         for r in S.embed_neardup_pairs(spark, d, threshold=0.9).collect()
     }
-    planted = {(int(r["vec_id"]), int(r["vec_id"]) + 100_000) for r in rows}
     recall = len(found & planted) / len(planted)
     assert recall >= 0.85, f"planted near-dup recall {recall:.2f} too low"
+
+
+def test_ann_recall_cost_dial_monotone(spark, tmp_path):
+    """``n_tables`` is the recall/cost dial: both planted-pair recall
+    and candidate volume rise monotonically with the table count
+    (table subsets nest, so this is exact, not statistical), and the
+    single-table configuration is strictly cheaper than the full one."""
+    d, planted = _plant_neardups(spark, tmp_path)
+    recalls, cands = {}, {}
+    for nt in (1, 4, 8):
+        cands[nt] = S.embed_ann_candidates(spark, d, n_tables=nt).count()
+        found = {
+            (r["vec_i"], r["vec_j"])
+            for r in S.embed_neardup_pairs(
+                spark, d, threshold=0.9, n_tables=nt).collect()
+        }
+        recalls[nt] = len(found & planted) / len(planted)
+    assert recalls[1] <= recalls[4] <= recalls[8], recalls
+    assert cands[1] <= cands[4] <= cands[8], cands
+    assert cands[1] < cands[8], cands
+    assert recalls[8] >= 0.85, recalls
+
+
+def test_ivf_probe_dial_monotone(spark):
+    """``n_probe`` is IVF's recall dial: probing more cells can only add
+    candidates, so brute-force-top-3 recall is monotone in n_probe."""
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in S.embed_topk(spark, SF).where("rank <= 3").collect()}
+    rec = {}
+    for npb in (1, 2, 4):
+        ivf = {(r["query_id"], r["neighbor_id"])
+               for r in S.ivf_topk(spark, SF, n_probe=npb).collect()}
+        rec[npb] = len(bf & ivf) / len(bf)
+    assert rec[1] <= rec[2] <= rec[4], rec
+    assert rec[4] >= rec[2] >= 0.3, rec
 
 
 def test_ivf_assign_plan_has_no_window_sort(spark):
