@@ -321,3 +321,24 @@ def test_winnow_spec_shared_substring_guarantee():
     t1 = "PREFIXONE " + shared + " SUFFIXONE"
     t2 = "zz " + shared + " qq tail here"
     assert set(winnow_select(t1)) & set(winnow_select(t2))
+
+
+def test_streaming_band_rows_match_batch_bands(spark):
+    """The streaming near-dedup's python band computation must coincide
+    exactly with the batch JVM _minhash_bands (same shingles, same md5
+    permutation minima, same band hashes) — the foundation of the
+    stream-vs-batch survivor parity."""
+    import pandas as pd
+
+    from dots_ocr_spark.streaming.neardedup import EXACT_BAND, _band_rows
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").toPandas()
+    got = set()
+    for pdf in _band_rows(iter([docs])):
+        for r in pdf.itertuples():
+            if r.band != EXACT_BAND:
+                got.add((r.doc_id, r.band, r.bucket))
+    exp = {(r["doc_id"], r["band"], r["bucket"])
+           for r in D._minhash_bands(spark, SF).collect()}
+    assert got == exp

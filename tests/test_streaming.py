@@ -105,3 +105,63 @@ def test_stream_dedup_winner_is_min_doc_id(spark, dirs):
                  spark.read.parquet(output_dir).select("doc_id").collect())
     assert len(ids) == 20
     assert all(i.startswith("aa-") for i in ids), ids[:5]
+
+
+def test_stream_neardedup_matches_batch_survivors(spark, dirs):
+    """The incremental LSH near-dedup must reproduce the batch
+    dedup_survivors set exactly when the corpus arrives in one
+    micro-batch (same shingles, same MinHash bands, same Jaccard
+    verify, same keep-min rule)."""
+    from dots_ocr_spark import dedup as D
+    from dots_ocr_spark.streaming.neardedup import (
+        stream_neardedup,
+        stream_survivors,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    input_dir, output_dir, ckpt = dirs
+    spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text") \
+        .write.parquet(input_dir)
+
+    q = stream_neardedup(spark, input_dir, output_dir, ckpt)
+    q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in stream_survivors(spark, output_dir).collect()}
+    exp = {r["doc_id"] for r in D.dedup_survivors(spark, sf).collect()}
+    assert got == exp, (
+        f"{len(got)} stream vs {len(exp)} batch; "
+        f"stream-only={sorted(got - exp)[:5]} batch-only={sorted(exp - got)[:5]}")
+    assert len(got) < 500  # the near-dup path actually dropped documents
+
+
+def test_stream_neardedup_drops_cross_batch_duplicates(spark, dirs):
+    """Cross-micro-batch state: a document whose content (exact or
+    near) already streamed through an EARLIER batch is dropped."""
+    import time
+
+    from dots_ocr_spark.streaming.neardedup import (
+        stream_neardedup,
+        stream_survivors,
+    )
+
+    input_dir, output_dir, ckpt = dirs
+    rows1 = [(i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}")
+             for i in range(50)]
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .write.mode("append").parquet(input_dir)
+    q = stream_neardedup(spark, input_dir, output_dir, ckpt)
+    q.awaitTermination(120)
+
+    time.sleep(1.1)
+    # batch 2: 20 exact copies (new ids) + 10 new docs
+    rows2 = [(1000 + i, f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}")
+             for i in range(20)]
+    rows2 += [(2000 + i, f"eta{i} theta{i} iota{i} kappa{i} lambda{i} mu{i}")
+              for i in range(10)]
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .write.mode("append").parquet(input_dir)
+    q2 = stream_neardedup(spark, input_dir, output_dir, ckpt)
+    q2.awaitTermination(120)
+
+    got = {r["doc_id"] for r in stream_survivors(spark, output_dir).collect()}
+    assert got == set(range(50)) | {2000 + i for i in range(10)}, sorted(got)[:60]
