@@ -74,6 +74,7 @@ HEADLINE = [
     "extract_toc",
     "extract_twocol",
     "winnow_fingerprints",
+    "quality_repetition",
 ]
 
 

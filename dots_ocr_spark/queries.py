@@ -907,6 +907,90 @@ FROM documents
 """
 
 
+#: repetition-gate thresholds (Gopher-style repetition filters: a doc
+#: dominated by one word or by repeated bigrams is boilerplate/spam)
+REP_TOP_WORD_MAX = 0.2
+REP_DUP_BIGRAM_MAX = 0.3
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rules complement to
+    q_quality_score): top-word fraction (count of the most frequent
+    word / total words) and duplicate-bigram fraction (1 − distinct/total
+    word-2-grams), plus the combined repetition gate. Shape: one
+    codegen'd projection for the bigram leg (zip-of-slices, no index
+    math that can go out of bounds) joined to an explode →
+    partial-aggregating double groupBy for the word-frequency leg — one
+    row per document through every exchange."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    z = F.arrays_zip(toks.alias("a"), t2.alias("b"))
+    big = F.transform(
+        F.filter(z, lambda s: s["b"].isNotNull()),
+        lambda s: F.concat_ws(" ", s["a"], s["b"]),
+    )
+    dup_frac = F.when(
+        F.size(big) > 0,
+        F.round(
+            (F.size(big) - F.size(F.array_distinct(big)))
+            .cast("decimal(18,6)") / F.size(big), 4).cast("double"),
+    ).otherwise(F.lit(0.0))
+    proj = d.select("doc_id", dup_frac.alias("dup_bigram_frac"))
+
+    wc = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    )
+    top = wc.groupBy("doc_id").agg(
+        F.max("c").cast("long").alias("top_word_count"),
+        F.sum("c").cast("long").alias("n_words"),
+    )
+    top_frac = F.round(
+        F.col("top_word_count").cast("decimal(18,6)") / F.col("n_words"), 4
+    ).cast("double")
+    return proj.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "top_word_count",
+        top_frac.alias("top_word_frac"),
+        "dup_bigram_frac",
+        ((top_frac <= REP_TOP_WORD_MAX)
+         & (F.col("dup_bigram_frac") <= REP_DUP_BIGRAM_MAX))
+        .alias("repetition_pass"),
+    )
+
+
+ORACLE_QUALITY_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), proj AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN CAST(round(
+           CAST(len(toks) - 1 - len(list_distinct(
+             [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]))
+             AS DECIMAL(18,6)) / (len(toks) - 1), 4) AS DOUBLE)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM t
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w
+), top AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_count,
+         CAST(sum(c) AS BIGINT) AS n_words
+  FROM wc GROUP BY doc_id
+)
+SELECT p.doc_id, top.n_words, top.top_word_count,
+       CAST(round(CAST(top.top_word_count AS DECIMAL(18,6)) / top.n_words, 4)
+            AS DOUBLE) AS top_word_frac,
+       p.dup_bigram_frac,
+       (CAST(round(CAST(top.top_word_count AS DECIMAL(18,6)) / top.n_words, 4)
+             AS DOUBLE) <= {REP_TOP_WORD_MAX}
+        AND p.dup_bigram_frac <= {REP_DUP_BIGRAM_MAX}) AS repetition_pass
+FROM proj p JOIN top ON p.doc_id = top.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # deduplication family
 # ---------------------------------------------------------------------------
@@ -1347,6 +1431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints_exploded": q_winnow_fingerprints_exploded,
     "langid": q_langid,
     "quality_score": q_quality_score,
+    "quality_repetition": q_quality_repetition,
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
     "minhash_band_buckets": D.minhash_band_buckets,
@@ -1394,6 +1479,7 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_fingerprints_exploded": ORACLE_WINNOW,
     "langid": ORACLE_LANGID,
     "quality_score": ORACLE_QUALITY,
+    "quality_repetition": ORACLE_QUALITY_REPETITION,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "minhash_signature": ORACLE_MINHASH,
     "minhash_band_buckets": D.ORACLE_MINHASH_SHINGLE_BANDS,

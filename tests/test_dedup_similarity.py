@@ -342,3 +342,24 @@ def test_streaming_band_rows_match_batch_bands(spark):
     exp = {(r["doc_id"], r["band"], r["bucket"])
            for r in D._minhash_bands(spark, SF).collect()}
     assert got == exp
+
+
+def test_quality_repetition_known_doc(spark, tmp_path):
+    """Hand-computed repetition signals: 'a b a b a c' has top word a×3
+    of 6 (frac 0.5) and bigrams [ab, ba, ab, ba, ac] = 5 total / 3
+    distinct (dup frac 0.4) — both over the gate thresholds."""
+    from dots_ocr_spark import queries as Q
+
+    d = str(tmp_path / "repdocs")
+    spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "x y z w v u")],
+        "doc_id long, text string").write.parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r
+            for r in Q.q_quality_repetition(spark, d).collect()}
+    assert rows[1]["n_words"] == 6 and rows[1]["top_word_count"] == 3
+    assert rows[1]["top_word_frac"] == 0.5
+    assert rows[1]["dup_bigram_frac"] == 0.4
+    assert rows[1]["repetition_pass"] is False
+    assert rows[2]["top_word_frac"] == round(1 / 6, 4)
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["repetition_pass"] is True
