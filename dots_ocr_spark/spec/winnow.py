@@ -45,10 +45,19 @@ def winnow_select(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
     m = n - k + 1  # number of grams
     if m < w:
         return []
+    # ASCII fast path: when the utf-8 encoding is byte-per-char, byte
+    # slices equal char-slice encodings — one encode for the whole text
+    # instead of one per gram (the md5 input is identical either way)
+    data = text.encode("utf-8")
+    if len(data) == n:
+        hashes = (
+            int(hashlib.md5(data[i:i + k]).hexdigest()[:15], 16)
+            for i in range(m))
+    else:
+        hashes = (gram_hash(text[i:i + k]) for i in range(m))
     sel: set[int] = set()
     dq: deque[tuple[int, int]] = deque()  # (gram index, hash), increasing
-    for i in range(m):
-        h = gram_hash(text[i:i + k])
+    for i, h in enumerate(hashes):
         while dq and dq[-1][1] >= h:
             dq.pop()
         dq.append((i, h))

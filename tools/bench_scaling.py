@@ -123,10 +123,16 @@ def main() -> None:
     ap.add_argument("--pairs", type=int, default=3,
                     help="interleaved N/4N measurement pairs")
     ap.add_argument("--keep-input", action="store_true")
+    ap.add_argument("--skip-prepare", action="store_true",
+                    help="reuse an already-materialized input table")
+    ap.add_argument("--out", default="SCALING_LATEST.md",
+                    help="output file under BENCH/ (BASELINE.md keeps "
+                         "manually curated sections; merge by hand)")
     args = ap.parse_args()
 
-    print(f"preparing {args.docs}-doc input table at {INPUT_DIR} ...", file=sys.stderr)
-    run(PREPARE, str(args.docs), INPUT_DIR)
+    if not args.skip_prepare:
+        print(f"preparing {args.docs}-doc input table at {INPUT_DIR} ...", file=sys.stderr)
+        run(PREPARE, str(args.docs), INPUT_DIR)
 
     # The sandbox VM suffers time-varying host-level contention (identical
     # runs vary ±50% minutes apart), so a single N measurement and a
@@ -182,7 +188,7 @@ Method notes:
   input_bytes/(cores×16) → ~16 task waves per core.
 - Produced by `python tools/bench_scaling.py --docs {args.docs} --n {args.n} --xn {args.xn}`.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
         f.write(md)
     print(json.dumps({"N": lo, "4N": hi, "efficiency": eff}))
     if not args.keep_input:
