@@ -277,6 +277,29 @@ FROM ex
 """
 
 
+def q_extract_wordgrain_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 rescale under the value oracle: the same word-grain input
+    rasterized at scale 2 — cell bboxes and page extent in image space,
+    the word layer in PDF space — so the J3 clip only recovers the text
+    when the ``bbox / scale_factor`` division runs. The output is
+    scale-invariant by construction, hence the SAME oracle SQL as
+    ``extract_wordgrain`` (a wrong or missing division would clip zero
+    words and hash-mismatch)."""
+    docs = interleaved_wordgrain(_read(spark, sf_dir, "documents"), scale=2)
+    out = pipeline.extract(docs)
+    return out.select(
+        "doc_id",
+        F.explode("spans").alias("s"),
+        F.md5("markdown").alias("markdown_md5"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.md5(F.col("s.text")).alias("content_md5"),
+        "markdown_md5",
+    )
+
+
 def q_extract_toc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/O5/T6-T8 end to end under the value oracle: every page carries a
     Section-header + a List-item plus an md5-drawn TOC
@@ -1419,6 +1442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_docs": q_extract_docs,
     "extract_from_corpus": q_extract_from_corpus,
     "extract_wordgrain": q_extract_wordgrain,
+    "extract_wordgrain_scaled": q_extract_wordgrain_scaled,
     "extract_toc": q_extract_toc,
     "extract_twocol": q_extract_twocol,
     "metrics_summary": q_metrics_summary,
@@ -1467,6 +1491,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_docs": ORACLE_EXTRACT_DOCS,
     "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
     "extract_wordgrain": ORACLE_EXTRACT_WORDGRAIN,
+    "extract_wordgrain_scaled": ORACLE_EXTRACT_WORDGRAIN,
     "extract_toc": ORACLE_EXTRACT_TOC,
     "extract_twocol": ORACLE_EXTRACT_TWOCOL,
     "metrics_summary": ORACLE_METRICS_SUMMARY,

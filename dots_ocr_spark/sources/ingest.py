@@ -276,6 +276,13 @@ TOC_MATCH_BELOW = 8
 #: inside it (⇒ point-to-bbox distance 0, directory_entry.py:115-117)
 TOC_HDR_BBOX = (100, BODY_TOP, PAGE_W - 100, BODY_TOP + BLOCK_H)
 TOC_DEST = (150, 200)
+#: alternate destination OUTSIDE the header bbox (50 px below) but far
+#: nearer to it than to the List-item at the page bottom — exercises the
+#: positive point-to-bbox Euclidean distance branch of the nearest-claim
+#: under the external oracle (the claim outcome is identical, so the
+#: oracle SQL needs no branch); drawn when the match nibble is >= this
+TOC_DEST_OUTSIDE = (150, 300)
+TOC_OUTSIDE_FROM = 4
 #: List-item cell bbox — bottom of the page, below every Text block
 TOC_LI_BBOX = (100, 1900, PAGE_W - 100, 2000)
 #: decoy TOC entry text: alphabet disjoint from 'sec '/'li ' + hex, so the
@@ -369,10 +376,16 @@ def interleaved_toc(docs: DataFrame, doc_id_col: str = "doc_id",
             cells = F.concat(
                 F.array(hdr_cell), text_cells, F.array(li_cell))
             d = _hex_draw(did_col, ":toc:", p, 1)
+            # half the matched pages aim the destination inside the
+            # header bbox (distance 0), half 50px below it (distance 50
+            # vs 1600 to the List-item — still claims the header, but
+            # through the Euclidean branch)
+            to_y = F.when(d < TOC_OUTSIDE_FROM, F.lit(TOC_DEST[1])) \
+                .otherwise(F.lit(TOC_DEST_OUTSIDE[1]))
             toc_entry = F.struct(
                 (F.lit(1) + d % 3).alias("level"),
                 hd.alias("text"),
-                F.array(F.lit(TOC_DEST[0]), F.lit(TOC_DEST[1])).alias("to"),
+                F.array(F.lit(TOC_DEST[0]), to_y).alias("to"),
             )
             decoy = F.struct(
                 F.lit(5).alias("level"),
@@ -520,7 +533,8 @@ def interleaved_twocol(docs: DataFrame, doc_id_col: str = "doc_id",
 
 
 def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          scale: int = 1) -> DataFrame:
     """Flat corpus → single-page interleaved docs whose Text cells carry
     NO text in the payload; the text arrives as a PDF-space word-box
     layer instead (``words_json``), so the extraction must run the J3
@@ -529,7 +543,14 @@ def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
     line of fixed-pitch word rectangles inside its cell bbox, so the clip
     recovers exactly the chunk text and the DuckDB oracle can predict
     every span. The word entries are JSON objects (to_json of structs);
-    the spec normalizes them to the positional fitz shape."""
+    the spec normalizes them to the positional fitz shape.
+
+    ``scale`` > 1 rasterizes the page at that factor: cell bboxes and the
+    page extent are in IMAGE space (multiplied by ``scale``) while the
+    word layer stays in PDF space, so the clip only recovers the text if
+    the P4 ``bbox / scale_factor`` division runs (ocr_task.py:565) —
+    putting the rescale path under the SAME external oracle (the output
+    text is scale-invariant by construction)."""
     did = F.col(doc_id_col).cast("string")
     marked = F.regexp_replace(
         F.col(text_col),
@@ -540,7 +561,10 @@ def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
 
     def cell_bbox(j):
         top = F.lit(BODY_TOP) + j * (BLOCK_H + BLOCK_GAP)
-        return F.array(F.lit(100), top, F.lit(PAGE_W - 100), top + BLOCK_H)
+        return F.transform(
+            F.array(F.lit(100), top, F.lit(PAGE_W - 100), top + BLOCK_H),
+            lambda v: (v * scale).cast("int"),
+        )
 
     cells = F.transform(
         chunks,
@@ -580,9 +604,9 @@ def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
     pages = F.array(
         F.struct(
             F.lit(0).alias("page_no"),
-            F.lit(PAGE_W).alias("width"),
-            height.alias("height"),
-            F.lit(1.0).alias("scale_factor"),
+            F.lit(PAGE_W * scale).alias("width"),
+            (height * scale).cast("int").alias("height"),
+            F.lit(float(scale)).alias("scale_factor"),
             F.to_json(cells).alias("payload"),
             F.lit(None).cast("string").alias("toc_json"),
             F.to_json(words).alias("words_json"),

@@ -75,3 +75,23 @@ def test_process_page_words_ignored_on_fallback():
     r = process_page(bad, 100, 100, doc_id="d", page_no=0, words=WORDS)
     assert r["status"] == "fallback"
     assert [s["text"] for s in r["spans"]] == ["kept"]
+
+
+def test_wordgrain_scaled_output_is_scale_invariant(spark):
+    """The scale-2 word-grain input (image-space bboxes, PDF-space word
+    layer) must extract byte-identically to the scale-1 input — the P4
+    division is the only thing standing between them."""
+    from dots_ocr_spark import pipeline
+    from dots_ocr_spark.sources.ingest import interleaved_wordgrain
+
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(80)
+
+    def fp(docs):
+        return {
+            r["doc_id"]: (r["n_spans"], tuple(s["text"] for s in r["spans"]))
+            for r in pipeline.extract(docs).collect()
+        }
+
+    assert fp(interleaved_wordgrain(flat)) == \
+        fp(interleaved_wordgrain(flat, scale=2))
