@@ -65,6 +65,25 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_spans_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCATTER physical strategy (page-scatter repartition + JVM
+    reassembly, two shuffles — the giant-doc skew path) over the same
+    multi-page input, against the SAME oracle as the fused flagship:
+    external value-proof that the mode switch changes the plan, never
+    the result (the pytest mode-agreement gate, independently
+    value-checked)."""
+    docs = interleaved_multipage(_read(spark, sf_dir, "documents"))
+    out = pipeline.extract(docs, mode="scatter")
+    return out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.md5(F.coalesce(F.col("s.text"), F.col("s.media_ref"), F.lit(""))).alias("content_md5"),
+    )
+
+
 def q_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level extraction summary over the same multi-page
     interleaved input: page counters, fail-threshold status, markdown
@@ -1439,6 +1458,7 @@ FROM (SELECT DISTINCT user_id AS uid FROM events
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_spans": q_extract_spans,
+    "extract_spans_scatter": q_extract_spans_scatter,
     "extract_docs": q_extract_docs,
     "extract_from_corpus": q_extract_from_corpus,
     "extract_wordgrain": q_extract_wordgrain,
@@ -1488,6 +1508,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "extract_spans": ORACLE_EXTRACT_SPANS,
+    "extract_spans_scatter": ORACLE_EXTRACT_SPANS,
     "extract_docs": ORACLE_EXTRACT_DOCS,
     "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
     "extract_wordgrain": ORACLE_EXTRACT_WORDGRAIN,
