@@ -31,6 +31,7 @@ from .sources import ingest
 from .sources.ingest import (
     interleaved_from_text,
     interleaved_multipage,
+    interleaved_rich,
     interleaved_toc,
     interleaved_twocol,
     interleaved_wordgrain,
@@ -494,6 +495,96 @@ SELECT e.doc_id,
        md5(e.u.s.content) AS content_md5,
        dm.markdown_md5 AS markdown_md5,
        dm.markdown_nohf_md5 AS markdown_nohf_md5
+FROM ex e JOIN docmd dm ON e.doc_id = dm.doc_id
+"""
+
+
+def q_extract_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full category taxonomy + T1-T3 formula normalization under the
+    value oracle: every page carries a Formula cell hitting one of the
+    four ``formula_in_markdown`` branches by md5 draw, a Table (HTML
+    passthrough), a Caption, a Footnote, and a Title
+    (``sources.ingest.interleaved_rich``; reference
+    format_transformer.py:65-115, prompts.py:9-13)."""
+    docs = interleaved_rich(_read(spark, sf_dir, "documents"))
+    out = pipeline.extract(docs)
+    return out.select(
+        "doc_id",
+        F.explode("spans").alias("s"),
+        F.md5("markdown").alias("markdown_md5"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.md5(F.col("s.text")).alias("content_md5"),
+        "markdown_md5",
+    )
+
+
+ORACLE_EXTRACT_RICH = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(ceil(n / {ingest.MP_CHUNK_WORDS}.0) AS INT) AS n_chunks,
+         [array_to_string(toks[(i*{ingest.MP_CHUNK_WORDS}+1):least((i+1)*{ingest.MP_CHUNK_WORDS}, n)], ' ')
+          FOR i IN range(0, CAST(ceil(n / {ingest.MP_CHUNK_WORDS}.0) AS INT))] AS chunks
+  FROM t
+), pg AS (
+  SELECT doc_id, n_chunks, chunks,
+         unnest(range(0, CAST(ceil(n_chunks / {ingest.MP_CHUNKS_PER_PAGE}.0) AS INT))) AS page_no
+  FROM c
+), psc AS (
+  SELECT doc_id, page_no,
+         chunks[(page_no*{ingest.MP_CHUNKS_PER_PAGE}+1):least((page_no+1)*{ingest.MP_CHUNKS_PER_PAGE}, n_chunks)] AS pchunks,
+         CAST(('0x' || substring(md5(doc_id || ':fb:' || page_no), 1, 1)) AS INT) % 4 AS fd,
+         substring(md5(doc_id || ':fm:' || page_no), 1, 4) AS fh,
+         substring(md5(doc_id || ':tb:' || page_no), 1, 4) AS tb,
+         substring(md5(doc_id || ':cp:' || page_no), 1, 4) AS cp,
+         substring(md5(doc_id || ':fn:' || page_no), 1, 4) AS fn,
+         substring(md5(doc_id || ':tt:' || page_no), 1, 4) AS tt
+  FROM pg
+), pspans AS (
+  SELECT doc_id, page_no,
+         list_concat(
+           [{{'kind': 'text', 'content': ch}} FOR ch IN pchunks],
+           [
+             {{'kind': 'formula', 'content':
+                CASE fd
+                  WHEN 0 THEN '$$' || chr(10) || '\\alpha_{{' || fh || '}}' || chr(10) || '$$'
+                  WHEN 1 THEN '$$' || chr(10) || 'E = ' || fh || chr(10) || '$$'
+                  WHEN 2 THEN '$$' || chr(10) || 'x + ' || fh || chr(10) || '$$'
+                  ELSE 'a $x_' || fh || '$ b'
+                END}},
+             {{'kind': 'table', 'content':
+                '<table><tr><td>' || tb || '</td></tr></table>'}},
+             {{'kind': 'caption', 'content': 'cap ' || cp}},
+             {{'kind': 'footnote', 'content': 'fn ' || fn}},
+             {{'kind': 'title', 'content': 'Ttl ' || tt}}
+           ])
+           AS spans
+  FROM psc
+), docmd AS (
+  SELECT doc_id,
+         md5(string_agg(
+           array_to_string([s.content FOR s IN spans], chr(10)||chr(10))
+             || chr(10)||chr(10),
+           '' ORDER BY page_no)) AS markdown_md5
+  FROM pspans GROUP BY doc_id
+), ex AS (
+  SELECT doc_id, page_no,
+         unnest([{{'j': j, 's': spans[j]}} FOR j IN range(1, len(spans)+1)]) AS u
+  FROM pspans
+)
+SELECT e.doc_id,
+       CAST(row_number() OVER (PARTITION BY e.doc_id ORDER BY e.page_no, e.u.j) - 1
+            AS BIGINT) AS "offset",
+       e.u.s.kind AS kind,
+       md5(e.u.s.content) AS content_md5,
+       dm.markdown_md5 AS markdown_md5
 FROM ex e JOIN docmd dm ON e.doc_id = dm.doc_id
 """
 
@@ -1465,6 +1556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_wordgrain_scaled": q_extract_wordgrain_scaled,
     "extract_toc": q_extract_toc,
     "extract_twocol": q_extract_twocol,
+    "extract_rich": q_extract_rich,
     "metrics_summary": q_metrics_summary,
     "ingest_gate": q_ingest_gate,
     "crop_merge_extents": q_crop_merge_extents,
@@ -1515,6 +1607,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_wordgrain_scaled": ORACLE_EXTRACT_WORDGRAIN,
     "extract_toc": ORACLE_EXTRACT_TOC,
     "extract_twocol": ORACLE_EXTRACT_TWOCOL,
+    "extract_rich": ORACLE_EXTRACT_RICH,
     "metrics_summary": ORACLE_METRICS_SUMMARY,
     "ingest_gate": ORACLE_INGEST_GATE,
     "crop_merge_extents": ORACLE_CROP_MERGE,

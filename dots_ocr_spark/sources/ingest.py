@@ -532,6 +532,102 @@ def interleaved_twocol(docs: DataFrame, doc_id_col: str = "doc_id",
     )
 
 
+def interleaved_rich(docs: DataFrame, doc_id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Flat corpus → multi-page interleaved docs exercising the FULL
+    cell-category taxonomy with md5-drawn content, so the Formula
+    normalization branches (T1-T3, format_transformer.py:65-115), the
+    Table HTML passthrough, and the Caption/Footnote/Title kinds all
+    land under the external value oracle.
+
+    Per page, below the corpus Text chunks: a Formula cell whose text
+    hits one of four ``formula_in_markdown`` branches by draw
+    (bare ``\\alpha_{h}`` command ⇒ ``$$``-wrap; ``$$ E = h $$`` ⇒
+    inner re-wrap; ``\\[ x + h \\]`` ⇒ ``$$``-conversion; inline
+    ``a $x_h$ b`` ⇒ returned as-is), a Table cell (``<table>`` HTML,
+    rendered verbatim), a Caption, a Footnote, and a Title. Single
+    column ⇒ reading order = payload order; every span and the page
+    markdown are string algebra over the draws.
+    """
+    did = F.col(doc_id_col).cast("string")
+    marked = F.regexp_replace(
+        F.col(text_col),
+        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
+        "$1",
+    )
+    chunks = F.split(marked, "")
+    n_chunks = F.size(chunks)
+    n_pages = F.ceil(n_chunks / F.lit(MP_CHUNKS_PER_PAGE)).cast("int")
+
+    def block_bbox(j):
+        top = F.lit(BODY_TOP) + j * (BLOCK_H + BLOCK_GAP)
+        return F.array(
+            F.lit(100), top, F.lit(PAGE_W - 100), top + BLOCK_H)
+
+    def _cell(j, category, text):
+        return F.struct(
+            block_bbox(j).alias("bbox"),
+            F.lit(category).alias("category"),
+            text.alias("text"),
+        )
+
+    def _page(chunks_col: Column, did_col: Column):
+        def build(p: Column) -> Column:
+            def draw(salt):
+                return F.substring(
+                    F.md5(F.concat(did_col, F.lit(salt), p.cast("string"))),
+                    1, 4)
+
+            pchunks = F.slice(
+                chunks_col, p * MP_CHUNKS_PER_PAGE + 1, MP_CHUNKS_PER_PAGE)
+            text_cells = F.transform(
+                pchunks,
+                lambda ch, j: F.struct(
+                    block_bbox(j).alias("bbox"),
+                    F.lit("Text").alias("category"),
+                    ch.alias("text"),
+                ),
+            )
+            fd = _hex_draw(did_col, ":fb:", p, 1) % 4
+            fh = draw(":fm:")
+            formula_text = (
+                F.when(fd == 0, F.concat(F.lit("\\alpha_{"), fh, F.lit("}")))
+                .when(fd == 1, F.concat(F.lit("$$ E = "), fh, F.lit(" $$")))
+                .when(fd == 2, F.concat(F.lit("\\[ x + "), fh, F.lit(" \\]")))
+                .otherwise(F.concat(F.lit("a $x_"), fh, F.lit("$ b")))
+            )
+            extra = F.array(
+                _cell(F.lit(2), "Formula", formula_text),
+                _cell(F.lit(3), "Table", F.concat(
+                    F.lit("<table><tr><td>"), draw(":tb:"),
+                    F.lit("</td></tr></table>"))),
+                _cell(F.lit(4), "Caption", F.concat(F.lit("cap "), draw(":cp:"))),
+                _cell(F.lit(5), "Footnote", F.concat(F.lit("fn "), draw(":fn:"))),
+                _cell(F.lit(6), "Title", F.concat(F.lit("Ttl "), draw(":tt:"))),
+            )
+            return F.struct(
+                p.cast("int").alias("page_no"),
+                F.lit(PAGE_W).alias("width"),
+                F.lit(PAGE_H).alias("height"),
+                F.lit(1.0).alias("scale_factor"),
+                F.to_json(F.concat(text_cells, extra)).alias("payload"),
+                F.lit(None).cast("string").alias("toc_json"),
+                F.lit(None).cast("string").alias("words_json"),
+            )
+
+        return build
+
+    pages = F.transform(
+        F.sequence(F.lit(0), n_pages - 1), _page(chunks, did))
+    return docs.select(
+        did.alias("doc_id"),
+        F.array().cast(_EMPTY_SPANS).alias("spans"),
+        pages.alias("pages"),
+        n_pages.alias("n_pages"),
+        F.lit("normal").alias("size_class"),
+    )
+
+
 def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
                           text_col: str = "text",
                           scale: int = 1) -> DataFrame:

@@ -12,6 +12,7 @@ from dots_ocr_spark import pipeline
 from dots_ocr_spark import queries as Q
 from dots_ocr_spark.sources.ingest import (
     interleaved_multipage,
+    interleaved_rich,
     interleaved_toc,
     interleaved_twocol,
     interleaved_wordgrain,
@@ -115,6 +116,30 @@ def test_twocol_order_differs_from_payload_order(spark):
     assert texts == [chunks[0], chunks[2], chunks[1], chunks[3]]
 
 
+def test_extract_rich_matches_oracle(spark, con):
+    rows = _match(spark, con, Q.q_extract_rich, Q.ORACLE_EXTRACT_RICH)
+    kinds = {r[2] for r in rows}
+    assert kinds == {"text", "formula", "table", "caption",
+                     "footnote", "title"}, kinds
+
+
+def test_rich_formula_branches_all_occur(spark):
+    """All four formula_in_markdown branches must actually fire on the
+    corpus: $$-wrap of a bare command, $$-rewrap, \\[..\\]-conversion,
+    and the inline-$ passthrough."""
+    docs = interleaved_rich(
+        spark.read.parquet(f"{SF}/documents.parquet").limit(100))
+    texts = {
+        s["text"]
+        for row in pipeline.extract(docs).collect()
+        for s in row["spans"] if s["kind"] == "formula"
+    }
+    assert any(t.startswith("$$\n\\alpha_") for t in texts)
+    assert any(t.startswith("$$\nE = ") for t in texts)
+    assert any(t.startswith("$$\nx + ") for t in texts)
+    assert any(t.startswith("a $x_") for t in texts)
+
+
 def _fingerprint(df):
     rows = df.select(
         "doc_id", "n_spans", "status", F.md5("markdown").alias("m")
@@ -144,8 +169,8 @@ def test_wordgrain_tall_doc_keeps_every_word(spark, tmp_path):
 
 @pytest.mark.parametrize("mode", ["paged", "scatter"])
 @pytest.mark.parametrize(
-    "gen", [interleaved_multipage, interleaved_toc, interleaved_twocol,
-            interleaved_wordgrain])
+    "gen", [interleaved_multipage, interleaved_rich, interleaved_toc,
+            interleaved_twocol, interleaved_wordgrain])
 def test_generated_input_modes_agree(spark, mode, gen):
     """All three physical strategies must produce identical documents on
     the generated inputs (fused is the baseline) — including the
