@@ -596,6 +596,18 @@ def interleaved_rich(docs: DataFrame, doc_id_col: str = "doc_id",
                 .when(fd == 2, F.concat(F.lit("\\[ x + "), fh, F.lit(" \\]")))
                 .otherwise(F.concat(F.lit("a $x_"), fh, F.lit("$ b")))
             )
+            # F5 probe: a Text cell overlapping the Title block at IoU
+            # ≈ 0.993 (> the 0.9 threshold) — the SMALLER box, so the
+            # IoU suppression must drop it before span emission. The
+            # oracle never lists it: if suppression failed, the extra
+            # span would break the row-count and value-hash compare.
+            iou_top = F.lit(BODY_TOP) + 6 * (BLOCK_H + BLOCK_GAP)
+            iou_cell = F.struct(
+                F.array(F.lit(100), iou_top, F.lit(PAGE_W - 110),
+                        iou_top + BLOCK_H).alias("bbox"),
+                F.lit("Text").alias("category"),
+                F.concat(F.lit("suppressed "), draw(":sp:")).alias("text"),
+            )
             extra = F.array(
                 _cell(F.lit(2), "Formula", formula_text),
                 _cell(F.lit(3), "Table", F.concat(
@@ -604,6 +616,7 @@ def interleaved_rich(docs: DataFrame, doc_id_col: str = "doc_id",
                 _cell(F.lit(4), "Caption", F.concat(F.lit("cap "), draw(":cp:"))),
                 _cell(F.lit(5), "Footnote", F.concat(F.lit("fn "), draw(":fn:"))),
                 _cell(F.lit(6), "Title", F.concat(F.lit("Ttl "), draw(":tt:"))),
+                iou_cell,
             )
             return F.struct(
                 p.cast("int").alias("page_no"),

@@ -140,6 +140,23 @@ def test_rich_formula_branches_all_occur(spark):
     assert any(t.startswith("a $x_") for t in texts)
 
 
+def test_rich_iou_probe_is_present_and_suppressed(spark):
+    """The F5 probe cell is IN every payload but must never surface as
+    a span (IoU ≈ 0.993 with the larger Title block ⇒ dropped)."""
+    import json
+
+    docs = interleaved_rich(
+        spark.read.parquet(f"{SF}/documents.parquet").limit(50))
+    rows = pipeline.extract(docs).collect()
+    payload0 = json.loads(
+        docs.select("pages").first()["pages"][0]["payload"])
+    assert any(str(c.get("text", "")).startswith("suppressed ")
+               for c in payload0)
+    assert not any(
+        s["text"] is not None and s["text"].startswith("suppressed ")
+        for row in rows for s in row["spans"])
+
+
 def _fingerprint(df):
     rows = df.select(
         "doc_id", "n_spans", "status", F.md5("markdown").alias("m")
