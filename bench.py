@@ -75,6 +75,7 @@ HEADLINE = [
     "extract_twocol",
     "winnow_fingerprints",
     "quality_repetition",
+    "training_corpus",
 ]
 
 

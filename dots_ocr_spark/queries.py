@@ -1124,6 +1124,44 @@ FROM proj p JOIN top ON p.doc_id = top.doc_id
 """
 
 
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data filter chain as ONE job — what a
+    pretraining pipeline actually runs over a crawled corpus: exact
+    dedup → LSH near-dedup survivors (``dedup.dedup_survivors``) ∩
+    length/punct/stopword quality gate (``q_quality_score``) ∩
+    repetition gate (``q_quality_repetition``). Every leg is
+    individually oracled; this row proves the COMPOSITION under one
+    external value check. Plan shape: three doc-grain frames joined on
+    the single key — each leg partial-aggregates to one row per doc
+    before its exchange, so the joins carry corpus-cardinality rows
+    only."""
+    surv = D.dedup_survivors(spark, sf_dir).select("doc_id")
+    rep = q_quality_repetition(spark, sf_dir) \
+        .where("repetition_pass").select("doc_id")
+    q = q_quality_score(spark, sf_dir).where("quality_pass").select("doc_id")
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.join(surv, "doc_id").join(rep, "doc_id").join(q, "doc_id")
+        .select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+ORACLE_TRAINING_CORPUS = """
+WITH surv AS ({surv}),
+rep AS ({rep}),
+q AS ({q})
+SELECT d.doc_id, md5(d.text) AS text_md5, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+JOIN surv ON surv.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id AND rep.repetition_pass
+JOIN q ON q.doc_id = d.doc_id AND q.quality_pass
+"""
+
+
 # ---------------------------------------------------------------------------
 # deduplication family
 # ---------------------------------------------------------------------------
@@ -1543,6 +1581,13 @@ FROM (SELECT DISTINCT user_id AS uid FROM events
 """
 
 
+ORACLE_TRAINING_CORPUS = ORACLE_TRAINING_CORPUS.format(
+    surv=D.ORACLE_DEDUP_SURVIVORS,
+    rep=ORACLE_QUALITY_REPETITION,
+    q=ORACLE_QUALITY,
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1568,6 +1613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid": q_langid,
     "quality_score": q_quality_score,
     "quality_repetition": q_quality_repetition,
+    "training_corpus": q_training_corpus,
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
     "minhash_band_buckets": D.minhash_band_buckets,
@@ -1619,6 +1665,7 @@ ORACLE_SQL: dict[str, str] = {
     "langid": ORACLE_LANGID,
     "quality_score": ORACLE_QUALITY,
     "quality_repetition": ORACLE_QUALITY_REPETITION,
+    "training_corpus": ORACLE_TRAINING_CORPUS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "minhash_signature": ORACLE_MINHASH,
     "minhash_band_buckets": D.ORACLE_MINHASH_SHINGLE_BANDS,

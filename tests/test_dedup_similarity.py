@@ -363,3 +363,19 @@ def test_quality_repetition_known_doc(spark, tmp_path):
     assert rows[2]["top_word_frac"] == round(1 / 6, 4)
     assert rows[2]["dup_bigram_frac"] == 0.0
     assert rows[2]["repetition_pass"] is True
+
+
+def test_training_corpus_composition(spark, con):
+    """The capstone composition (near-dedup survivors ∩ quality gate ∩
+    repetition gate) must value-match its composed oracle AND each leg
+    must be load-bearing (the kept set is strictly smaller than every
+    individual leg's pass set)."""
+    from dots_ocr_spark import queries as Q
+
+    rows = _match(spark, con, Q.q_training_corpus, Q.ORACLE_TRAINING_CORPUS)
+    kept = {r[0] for r in rows}
+    n_surv = D.dedup_survivors(spark, SF).count()
+    n_rep = Q.q_quality_repetition(spark, SF).where("repetition_pass").count()
+    n_q = Q.q_quality_score(spark, SF).where("quality_pass").count()
+    assert 0 < len(kept) < min(n_surv, n_rep, n_q), (
+        len(kept), n_surv, n_rep, n_q)
