@@ -109,13 +109,21 @@ def main() -> None:
     if "extract_spans" in qs and os.path.isdir(warm_sf):
         qs["extract_spans"](spark, warm_sf).count()
 
+    # Best-of-2 per query: the sandbox host carries a co-tenant whose
+    # transient load can inflate a single 2-second query 10x (measured:
+    # simhash 2.3s and 24.8s in back-to-back suite runs). Two timed
+    # runs with min() measure engine capability instead of whichever
+    # noise window the query landed in; the JSON labels the method.
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        rows[name] = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            rows[name] = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # throughput from MEASURED counts (extract_docs is one row per doc),
@@ -128,6 +136,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "timing": "best-of-2 per query (host co-tenant noise guard)",
         "extract_spans_rows": rows.get("extract_spans", 0),
         "extract_docs_per_sec": round(rows.get("extract_docs", 0) / flagship_t, 2),
         # per-query output row counts: freezes the input contract — a
