@@ -1134,7 +1134,15 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     external value check. Plan shape: three doc-grain frames joined on
     the single key — each leg partial-aggregates to one row per doc
     before its exchange, so the joins carry corpus-cardinality rows
-    only."""
+    only.
+
+    Scale note: as a single lazy query the legs re-scan the documents
+    table independently (no cross-branch reuse — ~15 scans in the
+    physical plan). Negligible here; at 100 TB a production run
+    MATERIALIZES each leg's doc-grain verdict table once (the
+    checkpoint.py lineage pattern / sinks.write_bucketed for
+    exchange-free joins) and the composition becomes three co-bucketed
+    joins over one corpus scan per leg."""
     surv = D.dedup_survivors(spark, sf_dir).select("doc_id")
     rep = q_quality_repetition(spark, sf_dir) \
         .where("repetition_pass").select("doc_id")
