@@ -304,7 +304,7 @@ def _shingle_expr():
     )
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_bands_df(d: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) — 2 bands × 4 MinHash permutations over
     word-3-gram SHINGLES.
 
@@ -316,7 +316,6 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-DUPLICATE detection (the word-level 2-permutation variant in
     queries.q_minhash_band_buckets demonstrates the loose end of the
     trade-off)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # Explode shingles to rows and take groupBy-partial MINs instead of
     # array_min(transform(...)) projections: higher-order functions are
     # interpreted (no whole-stage codegen) AND CollapseProject inlines the
@@ -343,25 +342,36 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "b.band", "b.bucket")
 
 
-def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_bands_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def dedup_survivors_df(d0: DataFrame) -> DataFrame:
     """The composed production dedup flow in one query: exact dedup
     (keep-first per text hash) → shingle-MinHash LSH candidates → exact
     Jaccard verify → greedy near-dup drop (a doc is dropped when a
     SMALLER-id doc is near-identical; ``jaccard_pairs`` always emits
     doc_i < doc_j, so dropping every doc_j is the standard one-pass
     rule). Returns the surviving document set — the corpus a training
-    run would actually keep."""
-    d0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    run would actually keep. Takes the documents frame directly so the
+    materialized ``training_corpus`` can point it at a bucketed scratch
+    copy instead of re-scanning the source corpus."""
     reps = (
         d0.groupBy(F.md5("text").alias("text_md5"))
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    near_j = jaccard_pairs(spark, sf_dir).select(
+    near_j = jaccard_pairs_df(d0).select(
         F.col("doc_j").alias("doc_id")).distinct()
     return (
         reps.join(near_j, "doc_id", "left_anti")
         .select("doc_id", "text_md5")
     )
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_survivors_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 ORACLE_DEDUP_SURVIVORS = f"""
@@ -379,6 +389,49 @@ _MH_COLS = ",\n         ".join(
     f"list_min(list_transform(shset, w -> md5('p{i}:' || w))) AS mh{i}"
     for i in range(8)
 )
+
+
+def jaccard_pairs_df(d0: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """DataFrame-parameterized body of :func:`jaccard_pairs` (see its
+    docstring); every internal leg derives from the ONE frame ``d0``."""
+    reps = (
+        d0.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    bands = _minhash_bands_df(d0).join(reps, "doc_id")
+    cand = (
+        lsh_candidate_pairs(bands, "band", "bucket")
+        .select(F.col("id_i").alias("doc_i"),
+                F.col("id_j").alias("doc_j"))
+        .distinct()
+    )
+
+    d = d0.join(reps, "doc_id")
+    shingles = d.where(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", _shingle_expr().alias("sh"),
+    )
+    # verify by joining the (small, distinct) shingle ARRAYS onto each
+    # candidate pair and intersecting per pair with the codegen'd
+    # array_intersect — an exploded shingle equi-join materializes and
+    # shuffles |candidates| × |shared shingles| rows (measured ~40×
+    # slower at sf0.1). Two key-joins + a per-row set intersection.
+    return (
+        cand
+        .join(shingles.select(F.col("doc_id").alias("doc_i"),
+                              F.col("sh").alias("sh_i")), "doc_i")
+        .join(shingles.select(F.col("doc_id").alias("doc_j"),
+                              F.col("sh").alias("sh_j")), "doc_j")
+        .withColumn("n_inter",
+                    F.size(F.array_intersect("sh_i", "sh_j")).cast("long"))
+        .select(
+            "doc_i", "doc_j",
+            (F.col("n_inter") /
+             (F.size("sh_i").cast("long") + F.size("sh_j").cast("long")
+              - F.col("n_inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,46 +484,8 @@ def jaccard_pairs(spark: SparkSession, sf_dir: str,
     quadratic blowup on dup-heavy web corpora. Exact dedup (q_dedup_exact)
     precedes near-dedup in the pipeline, exactly as at production scale.
     """
-    d0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    reps = (
-        d0.groupBy(F.md5("text").alias("text_md5"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    bands = _minhash_bands(spark, sf_dir).join(reps, "doc_id")
-    cand = (
-        lsh_candidate_pairs(bands, "band", "bucket")
-        .select(F.col("id_i").alias("doc_i"),
-                F.col("id_j").alias("doc_j"))
-        .distinct()
-    )
-
-    d = d0.join(reps, "doc_id")
-    shingles = d.where(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", _shingle_expr().alias("sh"),
-    )
-    # verify by joining the (small, distinct) shingle ARRAYS onto each
-    # candidate pair and intersecting per pair with the codegen'd
-    # array_intersect — an exploded shingle equi-join materializes and
-    # shuffles |candidates| × |shared shingles| rows (measured ~40×
-    # slower at sf0.1). Two key-joins + a per-row set intersection.
-    out = (
-        cand
-        .join(shingles.select(F.col("doc_id").alias("doc_i"),
-                              F.col("sh").alias("sh_i")), "doc_i")
-        .join(shingles.select(F.col("doc_id").alias("doc_j"),
-                              F.col("sh").alias("sh_j")), "doc_j")
-        .withColumn("n_inter",
-                    F.size(F.array_intersect("sh_i", "sh_j")).cast("long"))
-        .select(
-            "doc_i", "doc_j",
-            (F.col("n_inter") /
-             (F.size("sh_i").cast("long") + F.size("sh_j").cast("long")
-              - F.col("n_inter"))).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-    return out
+    return jaccard_pairs_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold)
 
 
 ORACLE_JACCARD_PAIRS = f"""

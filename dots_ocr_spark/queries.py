@@ -16,6 +16,7 @@ plain-Python oracle in pytest instead.
 
 from __future__ import annotations
 
+import atexit as _atexit
 import os as _os
 import tempfile as _tempfile
 from typing import Callable
@@ -693,15 +694,37 @@ WHERE file_ext IN ('.pdf', '.jpg', '.jpeg', '.png')
 """
 
 
-#: fixed location for the checkpointed-run demo (gitignored scratch);
-#: scratch base for the lineage demo, unique PER PROCESS: concurrent
-#: driver runs each get their own directory (no rmtree race) and a
-#: relocated checkout still works. ORACLE_METRICS_SUMMARY reads the SAME
-#: path, so the oracle is only meaningful after q_metrics_summary ran in
-#: this process — which is exactly the driver's query-then-oracle order;
-#: both strings are built at import time so they cannot drift apart.
+def _scratch_owner() -> str:
+    """User-scoped (NOT pid-scoped) scratch discriminator: the oracle SQL
+    below embeds the path at import time, so it must resolve in ANY
+    process that imports this module — a harness that evaluates
+    ``oracle_sql()`` in a separate process from the one that ran
+    ``q_metrics_summary`` still reads the same directory."""
+    try:
+        import getpass
+
+        return getpass.getuser()
+    except Exception:
+        return str(_os.getuid())
+
+
+#: scratch base for the lineage demo, fixed per USER: the same path in
+#: every process, so ORACLE_METRICS_SUMMARY (which embeds it at import
+#: time) resolves even when the oracle runs in a different process than
+#: the query did. The directory is removed at interpreter exit so runs
+#: don't accumulate in /tmp; q_metrics_summary rmtree-then-rewrites it,
+#: so a stale directory from a crashed run is also self-healing.
 METRICS_DEMO_BASE = _os.path.join(
-    _tempfile.gettempdir(), f"dots_ocr_spark_lineage_demo_{_os.getpid()}")
+    _tempfile.gettempdir(), f"dots_ocr_spark_lineage_demo_{_scratch_owner()}")
+
+
+def _cleanup_metrics_scratch() -> None:
+    import shutil
+
+    shutil.rmtree(METRICS_DEMO_BASE, ignore_errors=True)
+
+
+_atexit.register(_cleanup_metrics_scratch)
 
 
 def q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,10 +967,17 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit count + common-English
     character-n-gram presence count + declared-lang remap (P9-style
     categorical mapping with passthrough). Pure codegen'd projections —
-    the shape of a first-pass language filter at corpus scale."""
+    the shape of a first-pass language filter at corpus scale. The
+    stopword count is size(words) − size(words minus the stopwords):
+    ``array_remove`` is a codegen'd collection expression, unlike the
+    interpreted ``F.filter`` HOF this replaced (whole-stage codegen's
+    subexpression elimination shares the one split() across consumers)."""
     d = _read(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    stop_hits = F.size(F.filter(words, lambda w: w.isin("the", "a"))).cast("long")
+    stop_hits = (
+        F.size(words)
+        - F.size(F.array_remove(F.array_remove(words, "the"), "a"))
+    ).cast("long")
     ngram_hits = sum(
         (F.when(F.col("text").contains(g), 1).otherwise(0)
          for g in _EN_NGRAMS),
@@ -988,12 +1018,13 @@ FROM documents
 _QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_score_df(d: DataFrame) -> DataFrame:
     """Quality scoring: length band + mean token length +
     punctuation-character ratio + stopword ratio (all decimal-routed so
     both engines agree bit-for-bit) — the length/punct/stopword triad a
-    pretraining quality filter runs before anything model-based."""
-    d = _read(spark, sf_dir, "documents")
+    pretraining quality filter runs before anything model-based.
+    Takes the documents frame directly so the materialized
+    ``training_corpus`` can run it over a bucketed scratch copy."""
     words = F.split("text", " ")
     n_tokens = F.size(words)
     mean_tok_len = F.round(
@@ -1008,7 +1039,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")))
     punct_ratio = F.round(
         n_punct.cast("decimal(18,6)") / F.length("text"), 4).cast("double")
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(*_QUALITY_STOPWORDS)))
+    # codegen'd stopword count (see q_langid): size delta after removing
+    # each stopword, instead of an interpreted F.filter HOF
+    cleaned = words
+    for w in _QUALITY_STOPWORDS:
+        cleaned = F.array_remove(cleaned, w)
+    stop_hits = F.size(words) - F.size(cleaned)
     stop_ratio = F.round(
         stop_hits.cast("decimal(18,6)") / n_tokens, 4).cast("double")
     return d.select(
@@ -1019,6 +1055,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         (n_tokens >= 20).alias("quality_pass"),
     )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score_df(_read(spark, sf_dir, "documents"))
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
@@ -1046,16 +1086,19 @@ REP_TOP_WORD_MAX = 0.2
 REP_DUP_BIGRAM_MAX = 0.3
 
 
-def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_repetition_df(d: DataFrame) -> DataFrame:
     """Repetition quality signals (the Gopher-rules complement to
     q_quality_score): top-word fraction (count of the most frequent
     word / total words) and duplicate-bigram fraction (1 − distinct/total
-    word-2-grams), plus the combined repetition gate. Shape: one
-    codegen'd projection for the bigram leg (zip-of-slices, no index
-    math that can go out of bounds) joined to an explode →
-    partial-aggregating double groupBy for the word-frequency leg — one
-    row per document through every exchange."""
-    d = _read(spark, sf_dir, "documents")
+    word-2-grams), plus the combined repetition gate. Shape: BOTH legs
+    are explode → partial-aggregating double groupBy (codegen'd count
+    aggregates that combine map-side, one row per document through
+    every exchange). The bigram array is built with the zip-of-slices
+    construction (no index math that can go out of bounds) and
+    evaluated exactly ONCE per row as the explode input — the earlier
+    projection form referenced the interpreted HOF expression from four
+    consumers and CollapseProject re-evaluated it per consumer (the
+    repo's documented HOF pitfall)."""
     toks = F.split("text", " ")
     t2 = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
     z = F.arrays_zip(toks.alias("a"), t2.alias("b"))
@@ -1063,13 +1106,14 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(z, lambda s: s["b"].isNotNull()),
         lambda s: F.concat_ws(" ", s["a"], s["b"]),
     )
-    dup_frac = F.when(
-        F.size(big) > 0,
-        F.round(
-            (F.size(big) - F.size(F.array_distinct(big)))
-            .cast("decimal(18,6)") / F.size(big), 4).cast("double"),
-    ).otherwise(F.lit(0.0))
-    proj = d.select("doc_id", dup_frac.alias("dup_bigram_frac"))
+    bc = (
+        d.select("doc_id", F.explode(big).alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias("n_big"),
+            F.count("*").cast("long").alias("n_big_distinct"),
+        )
+    )
 
     wc = (
         d.select("doc_id", F.explode(toks).alias("w"))
@@ -1082,7 +1126,17 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_frac = F.round(
         F.col("top_word_count").cast("decimal(18,6)") / F.col("n_words"), 4
     ).cast("double")
-    return proj.join(top, "doc_id").select(
+    # docs with <2 words have no bigram rows after the explode: left
+    # join + coalesce to the 0.0 the projection form's `otherwise` gave
+    dup_frac = F.coalesce(
+        F.round((F.col("n_big") - F.col("n_big_distinct"))
+                .cast("decimal(18,6)") / F.col("n_big"), 4).cast("double"),
+        F.lit(0.0),
+    )
+    return top.join(bc, "doc_id", "left").select(
+        "doc_id", dup_frac.alias("dup_bigram_frac"),
+        "top_word_count", "n_words",
+    ).select(
         "doc_id",
         "n_words",
         "top_word_count",
@@ -1092,6 +1146,10 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.col("dup_bigram_frac") <= REP_DUP_BIGRAM_MAX))
         .alias("repetition_pass"),
     )
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_repetition_df(_read(spark, sf_dir, "documents"))
 
 
 ORACLE_QUALITY_REPETITION = f"""
@@ -1124,25 +1182,18 @@ FROM proj p JOIN top ON p.doc_id = top.doc_id
 """
 
 
-def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data filter chain as ONE job — what a
-    pretraining pipeline actually runs over a crawled corpus: exact
+def q_training_corpus_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data filter chain as ONE lazy query: exact
     dedup → LSH near-dedup survivors (``dedup.dedup_survivors``) ∩
     length/punct/stopword quality gate (``q_quality_score``) ∩
-    repetition gate (``q_quality_repetition``). Every leg is
-    individually oracled; this row proves the COMPOSITION under one
-    external value check. Plan shape: three doc-grain frames joined on
-    the single key — each leg partial-aggregates to one row per doc
-    before its exchange, so the joins carry corpus-cardinality rows
-    only.
+    repetition gate (``q_quality_repetition``).
 
-    Scale note: as a single lazy query the legs re-scan the documents
-    table independently (no cross-branch reuse — ~15 scans in the
-    physical plan). Negligible here; at 100 TB a production run
-    MATERIALIZES each leg's doc-grain verdict table once (the
-    checkpoint.py lineage pattern / sinks.write_bucketed for
-    exchange-free joins) and the composition becomes three co-bucketed
-    joins over one corpus scan per leg."""
+    Kept as the semantic REFERENCE form: Catalyst gets the whole
+    composition but cannot reuse scans across branches, so the physical
+    plan re-reads the documents table ~15× (once per leg-internal
+    branch). Fine at test scale, 15 corpus passes at 100 TB — the
+    registered ``training_corpus`` is the materialized variant below;
+    ``tests/test_training_corpus.py`` pins their equality."""
     surv = D.dedup_survivors(spark, sf_dir).select("doc_id")
     rep = q_quality_repetition(spark, sf_dir) \
         .where("repetition_pass").select("doc_id")
@@ -1155,6 +1206,76 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text").alias("text_md5"),
             F.col("n_chars").cast("long").alias("n_chars"),
         )
+    )
+
+
+#: bucket count for the training-corpus scratch tables. All four tables
+#: share it so every composition join is bucket-aligned.
+_TC_BUCKETS = 16
+
+#: scratch root for the materialized training-corpus leg tables —
+#: user-scoped like METRICS_DEMO_BASE (process-independent, no /tmp
+#: accumulation: removed at interpreter exit, rewritten per run).
+TC_SCRATCH = _os.path.join(
+    _tempfile.gettempdir(), f"dots_ocr_spark_tc_{_scratch_owner()}")
+
+
+def _cleanup_tc_scratch() -> None:
+    import shutil
+
+    shutil.rmtree(TC_SCRATCH, ignore_errors=True)
+
+
+_atexit.register(_cleanup_tc_scratch)
+
+
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data filter chain the way a 100 TB run
+    executes it — materialize-per-leg instead of one lazy mega-plan:
+
+    1. ONE scan of the source corpus writes a doc_id-bucketed scratch
+       projection (doc_id, text, n_chars) — ``sinks.write_bucketed``.
+    2. Each leg (dedup survivors / repetition gate / quality gate) runs
+       over that bucketed copy and writes its doc-grain VERDICT table,
+       bucketed on the same key with the same bucket count.
+    3. The composition is three co-bucketed sort-merge joins — zero
+       exchanges, zero re-reads of the source table (plan-gated by
+       ``tests/test_plans.py::test_training_corpus_composition_plan``).
+
+    Identical output to :func:`q_training_corpus_lazy` (pytest-pinned)
+    and to ORACLE_TRAINING_CORPUS (driver value hash). The legs
+    themselves still make their internal passes, but over the pruned
+    bucketed copy; the source ``documents`` table is scanned exactly
+    once per job instead of ~15×, and the final join stage carries only
+    corpus-cardinality doc_id sets with no shuffle."""
+    from . import sinks
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    sinks.write_bucketed(d, "tc_docs", _TC_BUCKETS,
+                         path=f"{TC_SCRATCH}/tc_docs")
+    docs = spark.table("tc_docs")
+
+    legs = {
+        "tc_surv": D.dedup_survivors_df(docs).select("doc_id"),
+        "tc_rep": quality_repetition_df(docs)
+        .where("repetition_pass").select("doc_id"),
+        "tc_qual": quality_score_df(docs)
+        .where("quality_pass").select("doc_id"),
+    }
+    for name, verdict in legs.items():
+        sinks.write_bucketed(verdict, name, _TC_BUCKETS,
+                             path=f"{TC_SCRATCH}/{name}")
+
+    # merge hints: the verdict tables are small HERE, but at corpus
+    # scale they are doc-grain — a broadcast would be wrong at 100 TB,
+    # so the plan is pinned to the co-bucketed sort-merge shape.
+    j = spark.table("tc_docs")
+    for name in legs:
+        j = j.join(spark.table(name).hint("merge"), "doc_id")
+    return j.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_chars").cast("long").alias("n_chars"),
     )
 
 

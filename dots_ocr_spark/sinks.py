@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame
 
 
 def write_bucketed(df: DataFrame, table: str, n_buckets: int = 64,
-                   mode: str = "overwrite") -> None:
-    """Persist ``df`` as a managed table bucketed+sorted by doc_id."""
-    (df.write.bucketBy(n_buckets, "doc_id").sortBy("doc_id")
-       .mode(mode).saveAsTable(table))
+                   mode: str = "overwrite", path: str | None = None) -> None:
+    """Persist ``df`` as a table bucketed+sorted by doc_id.
+
+    With ``path`` the table is EXTERNAL (data under ``path``, bucketing
+    metadata in the session catalog) — scratch materializations can then
+    live under a temp directory instead of the warehouse dir, which is
+    relative to whatever CWD the driver process happens to have."""
+    w = df.write.bucketBy(n_buckets, "doc_id").sortBy("doc_id").mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -94,6 +94,27 @@ def test_bucketed_output_joins_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_md_b")
 
 
+def test_training_corpus_composition_plan(spark):
+    """The registered training_corpus is the materialize-per-leg shape:
+    the source corpus is scanned ONCE (into the bucketed scratch
+    projection) and the composition joins read only the co-bucketed
+    verdict tables — zero exchanges, zero re-reads of documents.parquet,
+    sort-merge (not broadcast: verdict tables are doc-grain at corpus
+    scale, so the plan must not depend on them fitting in memory)."""
+    df = Q.q_training_corpus(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # the one scan of the source table prunes to exactly the columns the
+    # scratch projection carries
+    base = Q._read(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "n_chars")
+    bplan = _plan(base)
+    assert "lang" not in bplan and "source" not in bplan, bplan
+
+
 def test_aggregation_is_partial_before_shuffle(spark):
     """Map-side combine: the pricing rollup must partial-aggregate before
     its exchange (shuffle carries 6 group rows per partition, not 6k
