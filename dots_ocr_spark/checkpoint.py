@@ -163,6 +163,191 @@ def read_output(spark: SparkSession, base: str) -> DataFrame:
     return spark.read.parquet(_output_path(base))
 
 
+# --------------------------------------------------------------------------
+# page-granular checkpointing (giant-document / scatter-mode resume)
+# --------------------------------------------------------------------------
+#
+# The bucket-grain runner above recomputes a WHOLE bucket after a
+# mid-bucket crash — fine for uniform corpora, wasteful when one
+# document holds 10k pages (the measured scatter-win regime,
+# tools/bench_scatter.py). This runner checkpoints at (bucket,
+# page-range) grain, the Spark analog of the reference's page-index
+# resume scan (/root/reference/app/utils/storage.py:199-228): a crash
+# mid-giant-doc resumes at the first uncommitted page range of that
+# document instead of its first page.
+#
+#   * Work unit = (bucket, prange): bucket = pmod(xxhash64(doc_id), B),
+#     prange = page_no // pages_per_range. Stable across runs.
+#   * Output = PARSED PAGE grain (schemas.PARSED_PAGE + the unit
+#     columns), parquet partitioned by (bucket, prange) with dynamic
+#     overwrite — same atomic-replace guarantee as the bucket runner.
+#   * The unit domain is data-derived (bucket b has ranges
+#     0..max(ceil(n_pages/r))-1 over its docs) — a bounded
+#     n_buckets-row collect, recomputed identically on every resume.
+#   * Document assembly (``assemble_from_page_checkpoint``) is the
+#     scatter pipeline's stage 2 (pure-JVM ``assemble_documents``) over
+#     the completed page table.
+
+PAGE_LINEAGE_SCHEMA = T.StructType([
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("prange", T.IntegerType()),
+    T.StructField("run_id", T.StringType()),
+    T.StructField("n_pages", T.LongType()),
+    T.StructField("n_failed_pages", T.LongType()),
+    T.StructField("n_fallback_pages", T.LongType()),
+    T.StructField("completed_at_unix", T.DoubleType()),
+])
+
+#: encodes (bucket, prange) into one long for an IN-list filter; no
+#: corpus has 2^40 pages per document, so the encoding never collides
+_PR_ENC = 1 << 40
+
+
+def _page_lineage_path(base: str) -> str:
+    return os.path.join(base, "_page_lineage")
+
+
+def _pages_path(base: str) -> str:
+    return os.path.join(base, "pages")
+
+
+def completed_page_units(spark: SparkSession, base: str) -> set[tuple[int, int]]:
+    """(bucket, prange) units committed by any previous run."""
+    try:
+        rows = spark.read.schema(PAGE_LINEAGE_SCHEMA) \
+            .parquet(_page_lineage_path(base)) \
+            .select("bucket", "prange").distinct().collect()
+    except Exception:
+        return set()
+    return {(r["bucket"], r["prange"]) for r in rows}
+
+
+def _page_grain(docs: DataFrame, n_buckets: int, pages_per_range: int) -> DataFrame:
+    """Explode the input to page grain with the (bucket, prange) unit key."""
+    return (
+        docs.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+        .select("doc_id", "bucket", F.explode("pages").alias("page"))
+        .select("doc_id", "bucket", "page.*")
+        .withColumn(
+            "prange",
+            F.floor(F.col("page_no") / F.lit(pages_per_range)).cast("int"))
+    )
+
+
+def run_extraction_paged(
+    spark: SparkSession,
+    docs: DataFrame,
+    base: str,
+    n_buckets: int = 64,
+    pages_per_range: int = 8,
+    units_per_commit: int = 16,
+    shuffle_pages: bool = True,
+    run_id: str | None = None,
+) -> dict:
+    """Run (or resume) a page-granular checkpointed parse over ``docs``.
+
+    Returns ``{"run_id", "processed_units", "skipped_units"}``. Safe to
+    call again after any failure: committed page ranges are never
+    re-parsed — including the completed ranges of a document whose later
+    ranges crashed (the giant-doc case the bucket runner recomputes).
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # data-derived unit domain: one row per bucket → bounded collect
+    dom = (
+        docs.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+            .alias("bucket"),
+            F.ceil(F.size("pages") / F.lit(pages_per_range)).cast("int")
+            .alias("npr"),
+        )
+        .groupBy("bucket").agg(F.max("npr").alias("npr"))
+        .collect()
+    )
+    all_units = {(r["bucket"], p) for r in dom for p in range(r["npr"])}
+    done = completed_page_units(spark, base) & all_units
+    todo = sorted(all_units - done)
+
+    pages = _page_grain(docs, n_buckets, pages_per_range)
+    unit_key = F.col("bucket").cast("long") * _PR_ENC + F.col("prange")
+
+    for lo in range(0, len(todo), units_per_commit):
+        group = todo[lo:lo + units_per_commit]
+        sel = pages.where(
+            unit_key.isin([b * _PR_ENC + p for b, p in group]))
+        parsed = pipeline.parse_pages_exploded(
+            sel.drop("bucket", "prange"), shuffle_pages=shuffle_pages)
+        out = parsed.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"),
+        ).withColumn(
+            "prange",
+            F.floor(F.col("page_no") / F.lit(pages_per_range)).cast("int"))
+        out.write.mode("overwrite").partitionBy("bucket", "prange") \
+            .parquet(_pages_path(base))
+
+        try:
+            counts = (
+                spark.read.parquet(_pages_path(base))
+                .where(unit_key.isin([b * _PR_ENC + p for b, p in group]))
+                .groupBy("bucket", "prange")
+                .agg(
+                    F.count("*").alias("n_pages"),
+                    F.sum((F.col("status") == "failed").cast("long"))
+                    .alias("n_failed_pages"),
+                    F.sum((F.col("status") == "fallback").cast("long"))
+                    .alias("n_fallback_pages"),
+                )
+            )
+        except AnalysisException:
+            counts = spark.createDataFrame(
+                [], "bucket int, prange int, n_pages long, "
+                    "n_failed_pages long, n_fallback_pages long")
+        group_df = spark.createDataFrame(
+            [(int(b), int(p)) for b, p in group], "bucket int, prange int")
+        lineage = (
+            group_df.join(counts, ["bucket", "prange"], "left")
+            .select(
+                "bucket", "prange",
+                F.lit(run_id).alias("run_id"),
+                F.coalesce("n_pages", F.lit(0)).cast("long").alias("n_pages"),
+                F.coalesce("n_failed_pages", F.lit(0)).cast("long")
+                .alias("n_failed_pages"),
+                F.coalesce("n_fallback_pages", F.lit(0)).cast("long")
+                .alias("n_fallback_pages"),
+                F.lit(time.time()).alias("completed_at_unix"),
+            )
+        )
+        lineage.write.mode("append").parquet(_page_lineage_path(base))
+
+    return {
+        "run_id": run_id,
+        "processed_units": len(todo),
+        "skipped_units": len(done),
+    }
+
+
+def read_page_output(spark: SparkSession, base: str) -> DataFrame:
+    return spark.read.parquet(_pages_path(base))
+
+
+def read_page_lineage(spark: SparkSession, base: str) -> DataFrame:
+    return spark.read.schema(PAGE_LINEAGE_SCHEMA) \
+        .parquet(_page_lineage_path(base))
+
+
+def assemble_from_page_checkpoint(spark: SparkSession, base: str) -> DataFrame:
+    """Stage 2 of the scatter pipeline over the completed page table:
+    pure-JVM document reassembly (identical combiner to
+    ``pipeline.extract_scatter``)."""
+    return pipeline.assemble_documents(
+        read_page_output(spark, base)
+        .select("doc_id", "page_no", "status", "md", "md_nohf", "spans"))
+
+
 def read_lineage(spark: SparkSession, base: str) -> DataFrame:
     return spark.read.schema(LINEAGE_SCHEMA).parquet(_lineage_path(base))
 

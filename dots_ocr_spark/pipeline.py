@@ -99,6 +99,13 @@ def parse_pages(docs: DataFrame, shuffle_pages: bool = True) -> DataFrame:
     pages = docs.select(
         "doc_id", F.explode("pages").alias("page")
     ).select("doc_id", "page.*")
+    return parse_pages_exploded(pages, shuffle_pages=shuffle_pages)
+
+
+def parse_pages_exploded(pages: DataFrame, shuffle_pages: bool = True) -> DataFrame:
+    """Parse an already page-grain frame (doc_id + the PAGE columns) —
+    the seam shared by ``parse_pages`` and the page-granular checkpoint
+    runner (``checkpoint.run_extraction_paged``)."""
     if shuffle_pages:
         # Explicit partition count: an expression-only repartition is an
         # AQE-coalescible exchange, and page batches are small enough

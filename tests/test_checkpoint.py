@@ -123,9 +123,10 @@ def test_metrics_summary(spark, docs, tmp_path):
 
 
 def test_q_metrics_summary_repeat_invocations_isolated(spark):
-    """The registered metrics demo uses a per-process scratch dir: two
-    back-to-back invocations must not interfere, and the import-time
-    oracle must read the same path the query wrote."""
+    """The registered metrics demo uses a user-scoped scratch dir (fixed
+    across processes so the oracle resolves anywhere, rmtree'd per run
+    and at exit): two back-to-back invocations must not interfere, and
+    the import-time oracle must read the same path the query wrote."""
     import duckdb
 
     from dots_ocr_spark import queries as Q

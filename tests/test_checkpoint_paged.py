@@ -1,0 +1,150 @@
+"""Page-granular resume (the giant-document/scatter story): a crash
+mid-giant-doc must resume at the first uncommitted PAGE RANGE of that
+document — zero committed pages recomputed — and the assembled output
+must equal a single-shot extraction exactly."""
+
+import itertools
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dots_ocr_spark import checkpoint, pipeline, schemas
+from dots_ocr_spark.fixtures import generate_doc
+
+N_BUCKETS = 4
+PAGES_PER_RANGE = 8
+GIANT_PAGES = 64
+
+
+@pytest.fixture()
+def giant_corpus(spark, tmp_path):
+    """20 normal docs + one 64-page giant, written to parquet so both
+    runs read identical bytes."""
+    base = generate_doc(7, max_pages=4, malformed_frac=0.0)
+    tiled = [
+        dict(p, page_no=i)
+        for i, p in enumerate(
+            itertools.islice(itertools.cycle(base["pages"]), GIANT_PAGES))
+    ]
+    giant_row = [(
+        "giant-0",
+        [],
+        [(p["page_no"], p["width"], p["height"], p["scale_factor"],
+          p["payload"], p["toc_json"], p["words_json"]) for p in tiled],
+        GIANT_PAGES,
+        "giant",
+    )]
+    d = str(tmp_path / "corpus")
+    pipeline.generate_input(spark, 20, partitions=4) \
+        .unionByName(spark.createDataFrame(giant_row, schemas.INPUT)) \
+        .write.parquet(d)
+    return spark.read.parquet(d)
+
+
+def _unit_domain(spark, docs):
+    """The (bucket, prange) domain exactly as the runner derives it."""
+    dom = (
+        docs.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int")
+            .alias("bucket"),
+            F.ceil(F.size("pages") / F.lit(PAGES_PER_RANGE)).cast("int")
+            .alias("npr"),
+        ).groupBy("bucket").agg(F.max("npr").alias("npr")).collect()
+    )
+    return sorted((r["bucket"], p) for r in dom for p in range(r["npr"]))
+
+
+def _fingerprint(df):
+    rows = df.select("doc_id", "n_spans", F.md5("markdown").alias("m")).collect()
+    return {r["doc_id"]: (r["n_spans"], r["m"]) for r in rows}
+
+
+def test_resume_mid_giant_doc_recomputes_zero_pages(
+        spark, giant_corpus, tmp_path, monkeypatch):
+    docs = giant_corpus
+    base = str(tmp_path / "pckpt")
+
+    all_units = _unit_domain(spark, docs)
+    g_bucket = spark.createDataFrame([("giant-0",)], "doc_id string").select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    g_units = [u for u in all_units if u[0] == g_bucket]
+    assert len(g_units) >= GIANT_PAGES // PAGES_PER_RANGE  # giant spans many units
+    # crash at the THIRD unit of the giant's bucket: some of the giant's
+    # page ranges are committed, the rest are not — the mid-doc case
+    crash_at = all_units.index(g_units[2])
+
+    real_parse = pipeline.parse_pages_exploded
+    calls = {"n": 0}
+
+    def failing_parse(df, **kw):
+        calls["n"] += 1
+        if calls["n"] > crash_at:
+            raise RuntimeError("injected failure")
+        return real_parse(df, **kw)
+
+    monkeypatch.setattr(checkpoint.pipeline, "parse_pages_exploded",
+                        failing_parse)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        checkpoint.run_extraction_paged(
+            spark, docs, base, n_buckets=N_BUCKETS,
+            pages_per_range=PAGES_PER_RANGE, units_per_commit=1,
+            run_id="run1",
+        )
+    monkeypatch.setattr(checkpoint.pipeline, "parse_pages_exploded",
+                        real_parse)
+
+    done = checkpoint.completed_page_units(spark, base)
+    assert done == set(all_units[:crash_at])       # durable partial progress
+    assert set(g_units[:2]) <= done                # giant partially committed
+    assert g_units[2] not in done
+
+    res = checkpoint.run_extraction_paged(
+        spark, docs, base, n_buckets=N_BUCKETS,
+        pages_per_range=PAGES_PER_RANGE, units_per_commit=4, run_id="run2",
+    )
+    assert res["skipped_units"] == crash_at
+    assert res["processed_units"] == len(all_units) - crash_at
+
+    lineage = checkpoint.read_page_lineage(spark, base)
+    # exactly ONE lineage row per unit: nothing committed twice
+    assert lineage.count() == len(all_units)
+    assert lineage.select("bucket", "prange").distinct().count() == len(all_units)
+    by_run = {r["run_id"]: r["c"] for r in
+              lineage.groupBy("run_id").agg(F.count("*").alias("c")).collect()}
+    assert by_run["run1"] == crash_at              # run1's commits kept verbatim
+    # the giant's units are split across BOTH runs — page-grain, not
+    # whole-bucket, resume
+    g_runs = {r["run_id"] for r in lineage.where(
+        (F.col("bucket") == g_bucket)).collect()}
+    assert g_runs == {"run1", "run2"}
+
+    # zero recomputed pages: every input page parsed+committed exactly once
+    total_pages = int(docs.selectExpr("sum(size(pages))").collect()[0][0])
+    assert int(lineage.agg(F.sum("n_pages")).collect()[0][0]) == total_pages
+    assert checkpoint.read_page_output(spark, base).count() == total_pages
+    # no duplicate page rows
+    assert checkpoint.read_page_output(spark, base) \
+        .select("doc_id", "page_no").distinct().count() == total_pages
+
+    # assembled output == single-shot extraction
+    assembled = _fingerprint(checkpoint.assemble_from_page_checkpoint(spark, base))
+    single = _fingerprint(pipeline.extract(docs))
+    assert assembled == single
+
+
+def test_paged_rerun_is_noop(spark, giant_corpus, tmp_path):
+    docs = giant_corpus
+    base = str(tmp_path / "pckpt2")
+    r1 = checkpoint.run_extraction_paged(
+        spark, docs, base, n_buckets=N_BUCKETS,
+        pages_per_range=PAGES_PER_RANGE, units_per_commit=8, run_id="a")
+    assert r1["processed_units"] > 0
+    r2 = checkpoint.run_extraction_paged(
+        spark, docs, base, n_buckets=N_BUCKETS,
+        pages_per_range=PAGES_PER_RANGE, units_per_commit=8, run_id="b")
+    assert r2["processed_units"] == 0
+    assert r2["skipped_units"] == r1["processed_units"]
+    lineage = checkpoint.read_page_lineage(spark, base)
+    assert lineage.where(F.col("run_id") == "b").count() == 0
