@@ -165,3 +165,103 @@ def test_stream_neardedup_drops_cross_batch_duplicates(spark, dirs):
 
     got = {r["doc_id"] for r in stream_survivors(spark, output_dir).collect()}
     assert got == set(range(50)) | {2000 + i for i in range(10)}, sorted(got)[:60]
+
+
+def test_stream_neardedup_over_cap_cluster_matches_batch(spark, dirs, tmp_path):
+    """Over-cap parity pin (the documented stream-vs-batch divergence
+    surface): a near-identical cluster LARGER than MAX_BUCKET_MEMBERS
+    delivered across two micro-batches. Batch star-pairs every member
+    against the bucket min; the stream caps its per-bucket state at the
+    first MAX_BUCKET_MEMBERS members (which include the min) — for a
+    boilerplate cluster both rules collapse it to the min doc_id, and
+    this test fails if either side's over-cap handling silently changes
+    (e.g. the stream starts DROPPING overflow state, letting members
+    65+ escape, or the batch guard stops emitting star pairs)."""
+    from dots_ocr_spark import dedup as D
+    from dots_ocr_spark.dedup import MAX_BUCKET_MEMBERS
+    from dots_ocr_spark.streaming.neardedup import (
+        stream_neardedup,
+        stream_survivors,
+    )
+
+    base = " ".join(f"boiler{i}" for i in range(100))
+    n_cluster = MAX_BUCKET_MEMBERS + 16   # 80 > the 64-member cap
+    cluster = [(i, f"{base} unique{i}") for i in range(n_cluster)]
+    distinct = [(1000 + i,
+                 " ".join(f"doc{1000 + i}w{j}" for j in range(30)))
+                for i in range(20)]
+
+    # the planted corpus, as a batch table for the batch-side reference
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(cluster + distinct, "doc_id long, text string") \
+        .write.parquet(f"{corpus_dir}/documents.parquet")
+
+    # the cluster really is over-cap in at least one LSH bucket
+    max_bucket = (
+        D._minhash_bands(spark, corpus_dir)
+        .groupBy("band", "bucket").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket > MAX_BUCKET_MEMBERS, max_bucket
+
+    # stream the same corpus in TWO micro-batches splitting the cluster
+    input_dir, output_dir, ckpt = dirs
+    half = n_cluster // 2
+    spark.createDataFrame(cluster[:half] + distinct[:10],
+                          "doc_id long, text string") \
+        .write.mode("append").parquet(input_dir)
+    q1 = stream_neardedup(spark, input_dir, output_dir, ckpt)
+    q1.awaitTermination(180)
+    spark.createDataFrame(cluster[half:] + distinct[10:],
+                          "doc_id long, text string") \
+        .write.mode("append").parquet(input_dir)
+    q2 = stream_neardedup(spark, input_dir, output_dir, ckpt)
+    q2.awaitTermination(180)
+
+    got = {r["doc_id"] for r in stream_survivors(spark, output_dir).collect()}
+    exp = {r["doc_id"] for r in D.dedup_survivors(spark, corpus_dir).collect()}
+    assert got == exp, (
+        f"stream-only={sorted(got - exp)[:8]} batch-only={sorted(exp - got)[:8]}")
+    # the cluster collapses to its min id plus doc 14, which
+    # deterministically escapes LSH CANDIDATE GENERATION on both sides
+    # (its unique-word shingle lands below every boilerplate shingle in
+    # enough band hash functions to shift its signature out of the
+    # cluster's buckets) — an LSH recall property, not a cap escape.
+    # Pinned exactly so a silent change in over-cap handling (members
+    # 65+ escaping) shows up as extra survivors here.
+    assert got & set(range(n_cluster)) == {0, 14}
+
+
+def test_neardup_group_state_caps_but_keeps_dropping(spark):
+    """Direct pin of the stateful fold's cap rule: feeding an over-cap
+    bucket must (a) stop growing state at MAX_BUCKET_MEMBERS members and
+    (b) still drop every over-cap arrival that matches a RETAINED
+    member — overflow must degrade comparisons, never admit escapes."""
+    import json
+
+    import pandas as pd
+
+    from dots_ocr_spark.dedup import MAX_BUCKET_MEMBERS
+    from dots_ocr_spark.streaming import neardedup as ND
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.get = v
+            self.exists = True
+
+    sh = [f"s{j}" for j in range(10)]          # identical shingle set
+    n = MAX_BUCKET_MEMBERS + 20
+    pdf = pd.DataFrame({
+        "doc_id": list(range(n)),
+        "sh": [list(sh)] * n,
+    })
+    state = FakeState()
+    out = pd.concat(list(ND._neardup_group((0,), iter([pdf]), state)))
+    members = json.loads(state.get[0])
+    assert len(members) == MAX_BUCKET_MEMBERS          # cap respected
+    verdicts = dict(zip(out["doc_id"], out["dropped"]))
+    assert verdicts[0] is False or verdicts[0] == False  # noqa: E712
+    assert all(verdicts[i] for i in range(1, n))       # no over-cap escape
