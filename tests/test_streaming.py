@@ -232,6 +232,60 @@ def test_stream_neardedup_over_cap_cluster_matches_batch(spark, dirs, tmp_path):
     assert got & set(range(n_cluster)) == {0, 14}
 
 
+def test_stream_training_corpus_matches_batch(spark, dirs, tmp_path):
+    """Streaming capstone: the incremental composition (stateful
+    near-dedup ∩ repetition gate ∩ quality gate) over a corpus delivered
+    in THREE micro-batch rounds must keep exactly the batch
+    ``training_corpus`` doc set on the same corpus. The planted corpus
+    exercises every leg: an exact-dup pair, a near-dup boilerplate
+    cluster split across rounds, an under-20-token doc (quality), a
+    one-word spam doc (top-word repetition), an alternating-bigram doc
+    (dup-bigram repetition), and clean filler."""
+    from dots_ocr_spark import queries as Q
+    from dots_ocr_spark.streaming.corpus import (
+        stream_training_corpus,
+        stream_training_corpus_survivors,
+    )
+
+    filler = " ".join(f"w{j}" for j in range(30))
+    boiler = " ".join(f"tmpl{j}" for j in range(60))
+    docs = [
+        (0, f"{filler} exactpair"),            # exact-dup winner
+        (1, f"{filler} exactpair"),            # exact dup of 0 -> drop
+        *[(2 + i, f"{boiler} near{i}") for i in range(5)],  # near cluster
+        (7, "too short to pass quality"),       # <20 tokens -> quality drop
+        (8, " ".join(["spam"] * 50)),           # top-word frac 1.0 -> drop
+        (9, " ".join(["a b"] * 25)),            # dup-bigram heavy -> drop
+        *[(20 + i, " ".join(f"d{20 + i}t{j}" for j in range(25)))
+          for i in range(30)],                  # clean survivors
+    ]
+
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text")) \
+        .write.parquet(f"{corpus_dir}/documents.parquet")
+    exp = {r["doc_id"]
+           for r in Q.q_training_corpus_lazy(spark, corpus_dir).collect()}
+    # the plant really exercises all three legs
+    assert {1, 7, 8, 9} & exp == set()
+    assert set(range(20, 50)) <= exp
+
+    input_dir, _, _ = dirs
+    base = str(tmp_path / "cap")
+    thirds = [docs[:12], docs[12:25], docs[25:]]
+    for chunk in thirds:
+        spark.createDataFrame(
+            [(i, t) for i, t in chunk], "doc_id long, text string"
+        ).write.mode("append").parquet(input_dir)
+        stream_training_corpus(spark, input_dir, base)
+
+    got = {r["doc_id"]
+           for r in stream_training_corpus_survivors(spark, base).collect()}
+    assert got == exp, (
+        f"stream-only={sorted(got - exp)[:8]} batch-only={sorted(exp - got)[:8]}")
+
+
 def test_neardup_group_state_caps_but_keeps_dropping(spark):
     """Direct pin of the stateful fold's cap rule: feeding an over-cap
     bucket must (a) stop growing state at MAX_BUCKET_MEMBERS members and
