@@ -30,6 +30,7 @@ from . import similarity as S
 from . import textops as TX
 from .sources import ingest
 from .sources.ingest import (
+    interleaved_cleaner_probe,
     interleaved_from_text,
     interleaved_multipage,
     interleaved_rich,
@@ -209,6 +210,91 @@ SELECT doc_id,
        md5(string_agg(pmd_term, '' ORDER BY page_no)) AS markdown_nohf_md5
 FROM pmd
 GROUP BY doc_id
+"""
+
+
+def q_extract_cleaner_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial value probe for the previously golden-only repair
+    rules: A9/C7 threshold dedup, C3 exact-duplicate-dict removal, and
+    both C5 parse fallbacks (see
+    ``sources.ingest.interleaved_cleaner_probe``). Each probe page's
+    repaired output is md5-derivable, so this row FAILS the driver's
+    value compare if ``spec/cleaner.dedup_threshold`` (or either C5
+    fallback) is disabled — the same external-oracle trick as the F5
+    IoU probe in ``extract_rich``."""
+    docs = interleaved_cleaner_probe(_read(spark, sf_dir, "documents"))
+    out = pipeline.extract(docs)
+    return out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.md5(F.coalesce(F.col("s.text"), F.col("s.media_ref"), F.lit("")))
+        .alias("content_md5"),
+    )
+
+
+_CP_NL = "chr(10)||chr(10)"
+
+ORACLE_EXTRACT_CLEANER_PROBE = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(ceil(n / {ingest.MP_CHUNK_WORDS}.0) AS INT) AS n_chunks,
+         [array_to_string(toks[(i*{ingest.MP_CHUNK_WORDS}+1):least(
+              (i+1)*{ingest.MP_CHUNK_WORDS}, n)], ' ')
+          FOR i IN range(0, CAST(ceil(n / {ingest.MP_CHUNK_WORDS}.0) AS INT))]
+           AS chunks
+  FROM t
+), pg AS (
+  SELECT doc_id, n_chunks,
+         unnest(range(0, CAST(ceil(
+             n_chunks / {ingest.MP_CHUNKS_PER_PAGE}.0) AS INT))) AS page_no,
+         chunks
+  FROM c
+), ps AS (
+  SELECT doc_id, page_no,
+         chunks[(page_no*{ingest.MP_CHUNKS_PER_PAGE}+1):least(
+             (page_no+1)*{ingest.MP_CHUNKS_PER_PAGE}, n_chunks)] AS pchunks,
+         CAST(('0x' || substring(md5(doc_id || ':cp:' || page_no), 1, 1))
+              AS INT) AS cls,
+         substring(md5(doc_id || ':cc:' || page_no), 1, 8) AS cc8,
+         substring(md5(doc_id || ':dp:' || page_no), 1, 8) AS dp8,
+         substring(md5(doc_id || ':bb:' || page_no), 1, 8) AS bb8,
+         substring(md5(doc_id || ':sv:' || page_no), 1, 8) AS sv8
+  FROM pg
+), pspans AS (
+  SELECT doc_id, page_no,
+         CASE
+           WHEN cls < {ingest.CP_DUP_BELOW} THEN
+             [array_to_string(pchunks, {_CP_NL})
+              || {_CP_NL} || 'cc-' || cc8
+              || {_CP_NL} || 'dup-' || dp8
+              || {_CP_NL} || 'bba-' || bb8]
+           WHEN cls < {ingest.CP_REGEX_BELOW} THEN
+             [array_to_string(pchunks, {_CP_NL})]
+           WHEN cls < {ingest.CP_SALVAGE_BELOW} THEN
+             ['salv-' || sv8 || ']']
+           ELSE pchunks
+         END AS contents
+  FROM ps
+), ex AS (
+  SELECT doc_id, page_no,
+         unnest([{{'j': j, 'ct': contents[j]}}
+                 FOR j IN range(1, len(contents)+1)]) AS u
+  FROM pspans
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY page_no, u.j) - 1
+            AS BIGINT) AS "offset",
+       'text' AS kind,
+       md5(u.ct) AS content_md5
+FROM ex
 """
 
 
@@ -1725,6 +1811,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_spans": q_extract_spans,
     "extract_spans_scatter": q_extract_spans_scatter,
     "extract_docs": q_extract_docs,
+    "extract_cleaner_probe": q_extract_cleaner_probe,
     "extract_from_corpus": q_extract_from_corpus,
     "extract_wordgrain": q_extract_wordgrain,
     "extract_wordgrain_scaled": q_extract_wordgrain_scaled,
@@ -1777,6 +1864,7 @@ ORACLE_SQL: dict[str, str] = {
     "extract_spans": ORACLE_EXTRACT_SPANS,
     "extract_spans_scatter": ORACLE_EXTRACT_SPANS,
     "extract_docs": ORACLE_EXTRACT_DOCS,
+    "extract_cleaner_probe": ORACLE_EXTRACT_CLEANER_PROBE,
     "extract_from_corpus": ORACLE_EXTRACT_CORPUS,
     "extract_wordgrain": ORACLE_EXTRACT_WORDGRAIN,
     "extract_wordgrain_scaled": ORACLE_EXTRACT_WORDGRAIN,

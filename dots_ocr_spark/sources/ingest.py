@@ -728,3 +728,157 @@ def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
         F.lit(1).alias("n_pages"),
         F.lit("normal").alias("size_class"),
     )
+
+
+# ---- cleaner-probe generator knobs (interleaved_cleaner_probe) ------------
+#: page-class draw: first hex nibble of md5(doc_id || ':cp:' || page_no).
+#: < CP_DUP_BELOW      ⇒ A9/C3 dup-probe page (unparseable payload whose
+#:                       repair routes through C3 exact-string dedup AND
+#:                       the C7/A9 threshold dedup);
+#: < CP_REGEX_BELOW    ⇒ C5 fallback-1 page (per-object regex re-parse);
+#: < CP_SALVAGE_BELOW  ⇒ C5 fallback-2 page (single-truncated-object
+#:                       salvage);
+#: else                ⇒ plain wellformed control page.
+CP_DUP_BELOW = 5
+CP_REGEX_BELOW = 10
+CP_SALVAGE_BELOW = 13
+#: probe-cell bboxes — all full-width, stacked strictly below the body
+#: blocks, mutually non-overlapping (the IoU pass must not interfere)
+CP_CC_BBOX = (100, 1200, 1600, 1300)
+CP_DUP_Y0, CP_DUP_STEP, CP_DUP_H = 1350, 60, 50
+CP_BB_BBOX = (100, 1700, 1600, 1780)
+#: the salvage page's single (truncated) cell bbox
+CP_SALV_BBOX = (100, 150, 1600, 250)
+
+
+def interleaved_cleaner_probe(docs: DataFrame, doc_id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Adversarial value probe for the repair rules that previously had
+    only golden-test coverage — A9/C7 threshold dedup
+    (``spec/cleaner.dedup_threshold``, ref output_cleaner.py:347-416),
+    C3 exact-duplicate-dict removal (output_cleaner.py:222-254), and
+    BOTH C5 parse fallbacks (output_cleaner.py:271-345) — built so the
+    repaired output is SQL-predictable and the driver's DuckDB oracle
+    value-checks each rule end to end.
+
+    Every page carries the usual chunk Text cells; an md5 class draw
+    then picks one of four payload shapes:
+
+      * **dup probe** — the cell objects are ``;``-joined (json fails)
+        and augmented with an EXACT duplicate pair (same string twice ⇒
+        C3 removes one and rebuilds a parseable list), FIVE cells
+        sharing (category, text) but not bbox (C3 cannot touch them ⇒
+        only the A9 pair rule, threshold 5, collapses them to the
+        first), and TWO cells sharing a bbox with different texts (the
+        A9 bbox rule, threshold 2, keeps the first). The page degrades
+        to one whole-page fallback cell whose text is the kept cells'
+        texts joined with blank lines — one span whose md5 moves if any
+        of C3 / A9-pair / A9-bbox is broken (the duplicates have equal
+        areas, so the IoU pass can never mask a disabled dedup).
+      * **regex probe** — the wellformed payload's object separators are
+        rewritten ``},{`` → ``};{`` (json fails, C1 does not match, C3
+        finds no duplicate so it must NOT rebuild) forcing C5
+        fallback 1 to regex-extract every object; the fallback join
+        equals the chunk join, and a broken extractor (e.g. degrading
+        to the single-object salvage) drops all but the first chunk.
+      * **salvage probe** — a single object truncated mid-``text``
+        (C2 skips: one object; C4 appends ``]``) forcing C5 fallback 2;
+        the salvaged text is the md5-drawn literal plus the ``]`` C4
+        appended — pinning the exact regex capture semantics.
+      * **control** — wellformed payload, one span per chunk.
+    """
+    did = F.col(doc_id_col).cast("string")
+    marked = F.regexp_replace(
+        F.col(text_col),
+        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
+        "$1",
+    )
+    chunks = F.split(marked, "")
+    n_chunks = F.size(chunks)
+    n_pages = F.ceil(n_chunks / F.lit(MP_CHUNKS_PER_PAGE)).cast("int")
+
+    def _obj(bbox, txt: Column) -> Column:
+        x1, y1, x2, y2 = bbox
+        return F.concat(
+            F.lit('{"bbox": [%d, %d, %d, %d], "category": "Text", "text": "'
+                  % (x1, y1, x2, y2)),
+            txt, F.lit('"}'))
+
+    def _page(chunks_col: Column, did_col: Column):
+        def build(p: Column) -> Column:
+            pchunks = F.slice(
+                chunks_col, p * MP_CHUNKS_PER_PAGE + 1, MP_CHUNKS_PER_PAGE)
+            text_cells = F.transform(
+                pchunks,
+                lambda ch, j: F.struct(
+                    F.array(
+                        F.lit(100),
+                        F.lit(BODY_TOP) + j * (BLOCK_H + BLOCK_GAP),
+                        F.lit(PAGE_W - 100),
+                        F.lit(BODY_TOP) + j * (BLOCK_H + BLOCK_GAP) + BLOCK_H,
+                    ).alias("bbox"),
+                    F.lit("Text").alias("category"),
+                    ch.alias("text"),
+                ),
+            )
+            base = F.to_json(text_cells)
+
+            def _sl(salt: str) -> Column:
+                return F.substring(
+                    F.md5(F.concat(did_col, F.lit(salt), p.cast("string"))),
+                    1, 8)
+
+            cc_obj = _obj(CP_CC_BBOX, F.concat(F.lit("cc-"), _sl(":cc:")))
+            dup_txt = F.concat(F.lit("dup-"), _sl(":dp:"))
+            dup_objs = [
+                _obj((100, CP_DUP_Y0 + j * CP_DUP_STEP, 1600,
+                      CP_DUP_Y0 + j * CP_DUP_STEP + CP_DUP_H), dup_txt)
+                for j in range(5)
+            ]
+            bb_objs = [
+                _obj(CP_BB_BBOX, F.concat(F.lit(pre), _sl(":bb:")))
+                for pre in ("bba-", "bbb-")
+            ]
+            parts = [base.substr(F.lit(1), F.length(base) - 1),
+                     F.lit(";"), cc_obj, F.lit(";"), cc_obj]
+            for o in dup_objs + bb_objs:
+                parts += [F.lit(";"), o]
+            parts.append(F.lit("]"))
+            payload_dup = F.concat(*parts)
+
+            payload_regex = F.regexp_replace(base, r'\},\{"', '};{"')
+
+            x1, y1, x2, y2 = CP_SALV_BBOX
+            payload_salvage = F.concat(
+                F.lit('[{"bbox": [%d, %d, %d, %d], '
+                      '"category": "Text", "text": "salv-' % (x1, y1, x2, y2)),
+                _sl(":sv:"))
+
+            cls = _hex_draw(did_col, ":cp:", p, 1)
+            payload = (
+                F.when(cls < CP_DUP_BELOW, payload_dup)
+                .when(cls < CP_REGEX_BELOW, payload_regex)
+                .when(cls < CP_SALVAGE_BELOW, payload_salvage)
+                .otherwise(base)
+            )
+            return F.struct(
+                p.cast("int").alias("page_no"),
+                F.lit(PAGE_W).alias("width"),
+                F.lit(PAGE_H).alias("height"),
+                F.lit(1.0).alias("scale_factor"),
+                payload.alias("payload"),
+                F.lit(None).cast("string").alias("toc_json"),
+                F.lit(None).cast("string").alias("words_json"),
+            )
+
+        return build
+
+    pages = F.transform(
+        F.sequence(F.lit(0), n_pages - 1), _page(chunks, did))
+    return docs.select(
+        did.alias("doc_id"),
+        F.array().cast(_EMPTY_SPANS).alias("spans"),
+        pages.alias("pages"),
+        n_pages.alias("n_pages"),
+        F.lit("normal").alias("size_class"),
+    )

@@ -36,7 +36,8 @@ def test_flagship_corpus_extract_is_zero_shuffle(spark):
     generator uses (doc_id, text)."""
     for df in (Q.q_extract_spans(spark, SF), Q.q_extract_wordgrain(spark, SF),
                Q.q_extract_toc(spark, SF), Q.q_extract_twocol(spark, SF),
-               Q.q_extract_rich(spark, SF)):
+               Q.q_extract_rich(spark, SF),
+               Q.q_extract_cleaner_probe(spark, SF)):
         plan = _plan(df)
         assert "Exchange" not in plan, plan
         assert "MapInPandas" in plan
