@@ -76,6 +76,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "quality_repetition",
     "training_corpus",
+    # round-4 additions (appended; earlier entries unchanged)
+    "extract_cleaner_probe",
 ]
 
 
