@@ -348,6 +348,21 @@ def assemble_from_page_checkpoint(spark: SparkSession, base: str) -> DataFrame:
         .select("doc_id", "page_no", "status", "md", "md_nohf", "spans"))
 
 
+def page_metrics_summary(spark: SparkSession, base: str) -> DataFrame:
+    """Run-level metrics rollup from the PAGE lineage table — the
+    page-granular runner's analog of :func:`metrics_summary`."""
+    return (
+        read_page_lineage(spark, base)
+        .groupBy("run_id")
+        .agg(
+            F.count("*").alias("n_units"),
+            F.sum("n_pages").alias("n_pages"),
+            F.sum("n_failed_pages").alias("n_failed_pages"),
+            F.sum("n_fallback_pages").alias("n_fallback_pages"),
+        )
+    )
+
+
 def read_lineage(spark: SparkSession, base: str) -> DataFrame:
     return spark.read.schema(LINEAGE_SCHEMA).parquet(_lineage_path(base))
 

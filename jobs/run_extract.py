@@ -40,6 +40,13 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--buckets-per-commit", type=int, default=16)
     ap.add_argument("--mode", choices=["fused", "paged", "scatter"], default="fused")
+    ap.add_argument("--page-checkpoint", action="store_true",
+                    help="checkpoint at (bucket, page-range) grain instead "
+                         "of bucket grain: a crash mid-giant-document "
+                         "resumes at its first uncommitted page range "
+                         "(pairs with scatter-mode corpora)")
+    ap.add_argument("--pages-per-range", type=int, default=8)
+    ap.add_argument("--units-per-commit", type=int, default=16)
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -66,18 +73,42 @@ def main() -> int:
                     docs = pipeline.generate_input(spark, args.synthetic)
 
             t0 = time.perf_counter()
-            with tracer.span("extract", buckets=args.buckets):
-                res = checkpoint.run_extraction(
-                    spark, docs, args.output,
-                    n_buckets=args.buckets,
-                    buckets_per_commit=args.buckets_per_commit,
-                    mode=args.mode,
-                    run_id=args.run_id,
-                )
-            res["wall_sec"] = round(time.perf_counter() - t0, 2)
-            res["metrics"] = [
-                r.asDict() for r in
-                checkpoint.metrics_summary(spark, args.output).collect()]
+            if args.page_checkpoint:
+                with tracer.span("extract_paged", buckets=args.buckets,
+                                 pages_per_range=args.pages_per_range):
+                    res = checkpoint.run_extraction_paged(
+                        spark, docs, args.output,
+                        n_buckets=args.buckets,
+                        pages_per_range=args.pages_per_range,
+                        units_per_commit=args.units_per_commit,
+                        run_id=args.run_id,
+                    )
+                # final assembly: the scatter pipeline's pure-JVM stage 2
+                # over the completed page table — deterministic and
+                # idempotent, so it needs no checkpoint of its own
+                with tracer.span("assemble"):
+                    checkpoint.assemble_from_page_checkpoint(
+                        spark, args.output
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(args.output, "output"))
+                res["wall_sec"] = round(time.perf_counter() - t0, 2)
+                res["metrics"] = [
+                    r.asDict() for r in
+                    checkpoint.page_metrics_summary(
+                        spark, args.output).collect()]
+            else:
+                with tracer.span("extract", buckets=args.buckets):
+                    res = checkpoint.run_extraction(
+                        spark, docs, args.output,
+                        n_buckets=args.buckets,
+                        buckets_per_commit=args.buckets_per_commit,
+                        mode=args.mode,
+                        run_id=args.run_id,
+                    )
+                res["wall_sec"] = round(time.perf_counter() - t0, 2)
+                res["metrics"] = [
+                    r.asDict() for r in
+                    checkpoint.metrics_summary(spark, args.output).collect()]
     finally:
         # persist the trace even (especially) when the run failed — the
         # error spans are the post-mortem; lands next to the lineage

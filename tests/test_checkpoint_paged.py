@@ -148,3 +148,54 @@ def test_paged_rerun_is_noop(spark, giant_corpus, tmp_path):
     assert r2["skipped_units"] == r1["processed_units"]
     lineage = checkpoint.read_page_lineage(spark, base)
     assert lineage.where(F.col("run_id") == "b").count() == 0
+
+
+def test_page_metrics_summary_rolls_up_lineage(spark, giant_corpus, tmp_path):
+    docs = giant_corpus
+    base = str(tmp_path / "pckpt3")
+    checkpoint.run_extraction_paged(
+        spark, docs, base, n_buckets=N_BUCKETS,
+        pages_per_range=PAGES_PER_RANGE, units_per_commit=8, run_id="m")
+    row = checkpoint.page_metrics_summary(spark, base).collect()[0]
+    total_pages = int(docs.selectExpr("sum(size(pages))").collect()[0][0])
+    assert row["run_id"] == "m"
+    assert row["n_pages"] == total_pages
+    assert row["n_units"] == len(_unit_domain(spark, docs))
+
+
+def test_job_cli_page_checkpoint_end_to_end(tmp_path):
+    """The spark-submit entry point's --page-checkpoint path: one process
+    runs the page-granular runner + assembly and reports page metrics; a
+    second invocation with the same output resumes to a no-op while the
+    assembled document output stays byte-stable."""
+    import json
+    import subprocess
+    import sys
+
+    base = str(tmp_path / "jobout")
+    cmd = [sys.executable, "jobs/run_extract.py", "--synthetic", "30",
+           "--output", base, "--buckets", "4", "--page-checkpoint",
+           "--pages-per-range", "4", "--units-per-commit", "8"]
+    r1 = json.loads(subprocess.run(
+        cmd, capture_output=True, text=True, check=True,
+        cwd="/root/repo").stdout.strip().splitlines()[-1])
+    assert r1["processed_units"] > 0 and r1["skipped_units"] == 0
+    assert r1["metrics"][0]["n_pages"] > 0
+
+    import duckdb
+    docs1 = duckdb.sql(
+        f"SELECT doc_id, n_spans, md5(markdown) AS m "
+        f"FROM read_parquet('{base}/output/*.parquet') ORDER BY doc_id"
+    ).fetchall()
+    assert len(docs1) == 30
+
+    r2 = json.loads(subprocess.run(
+        cmd, capture_output=True, text=True, check=True,
+        cwd="/root/repo").stdout.strip().splitlines()[-1])
+    assert r2["processed_units"] == 0
+    assert r2["skipped_units"] == r1["processed_units"]
+    docs2 = duckdb.sql(
+        f"SELECT doc_id, n_spans, md5(markdown) AS m "
+        f"FROM read_parquet('{base}/output/*.parquet') ORDER BY doc_id"
+    ).fetchall()
+    assert docs2 == docs1
