@@ -256,13 +256,22 @@ def run_extraction_paged(
     run_id = run_id or uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    # data-derived unit domain: one row per bucket → bounded collect
+    # data-derived unit domain: one row per bucket → bounded collect.
+    # Ranges are derived from the MAX page_no actually present (not from
+    # size(pages)): the two agree on the canonical 0-based contiguous
+    # numbering, but an externally-supplied table with 1-based or gapped
+    # page_no would otherwise put its last page(s) in a prange outside
+    # the domain — never selected, yet the unit lineage still commits,
+    # i.e. pages silently dropped with no resumable trace.
     dom = (
         docs.select(
             F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
             .alias("bucket"),
-            F.ceil(F.size("pages") / F.lit(pages_per_range)).cast("int")
-            .alias("npr"),
+            F.when(
+                F.size("pages") > 0,
+                F.floor(F.array_max("pages.page_no") / F.lit(pages_per_range))
+                .cast("int") + 1,
+            ).otherwise(F.lit(0)).alias("npr"),
         )
         .groupBy("bucket").agg(F.max("npr").alias("npr"))
         .collect()

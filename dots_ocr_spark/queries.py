@@ -797,27 +797,23 @@ def _scratch_owner() -> str:
 #: scratch base for the lineage demo, fixed per USER: the same path in
 #: every process, so ORACLE_METRICS_SUMMARY (which embeds it at import
 #: time) resolves even when the oracle runs in a different process than
-#: the query did. The directory is removed at interpreter exit so runs
-#: don't accumulate in /tmp; q_metrics_summary rmtree-then-rewrites it,
-#: so a stale directory from a crashed run is also self-healing.
+#: the query did — INCLUDING after the query's process has exited, which
+#: is why there is deliberately NO atexit cleanup here (an exit-time
+#: rmtree would delete the lineage the cross-process oracle exists to
+#: read). /tmp does not accumulate: the path is one fixed directory per
+#: user, and q_metrics_summary rmtree-then-rewrites it at the START of
+#: each run, so a stale directory from a crashed run is self-healing.
+#: Single-writer assumption: two concurrent same-user drivers would race
+#: on this path — the driver contract runs one harness at a time.
 METRICS_DEMO_BASE = _os.path.join(
     _tempfile.gettempdir(), f"dots_ocr_spark_lineage_demo_{_scratch_owner()}")
-
-
-def _cleanup_metrics_scratch() -> None:
-    import shutil
-
-    shutil.rmtree(METRICS_DEMO_BASE, ignore_errors=True)
-
-
-_atexit.register(_cleanup_metrics_scratch)
 
 
 def q_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 — per-run metrics rollup from the checkpoint LINEAGE table:
     runs the checkpointed extraction (bucket lineage + dynamic partition
     overwrite, checkpoint.run_extraction) over the multi-page interleaved
-    corpus into a per-process scratch location, then aggregates the
+    corpus into a user-scoped scratch location, then aggregates the
     per-bucket lineage rows exactly as the reference rolls up task stats
     (/root/reference/app/utils/executor/stats.py:22-41). The oracle reads
     the SAME lineage parquet, independently verifying the rollup."""
@@ -1300,10 +1296,17 @@ def q_training_corpus_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TC_BUCKETS = 16
 
 #: scratch root for the materialized training-corpus leg tables —
-#: user-scoped like METRICS_DEMO_BASE (process-independent, no /tmp
-#: accumulation: removed at interpreter exit, rewritten per run).
+#: user-scoped like METRICS_DEMO_BASE (process-independent, rewritten
+#: per run). Unlike METRICS_DEMO_BASE no oracle reads it after process
+#: exit, so it IS cleaned at interpreter exit — but the cleanup is
+#: registered lazily by the first q_training_corpus call, never at
+#: import: a process that merely imports this module must not delete a
+#: concurrent run's live scratch on its way out. Single-writer
+#: assumption as with METRICS_DEMO_BASE.
 TC_SCRATCH = _os.path.join(
     _tempfile.gettempdir(), f"dots_ocr_spark_tc_{_scratch_owner()}")
+
+_tc_cleanup_registered = False
 
 
 def _cleanup_tc_scratch() -> None:
@@ -1312,7 +1315,11 @@ def _cleanup_tc_scratch() -> None:
     shutil.rmtree(TC_SCRATCH, ignore_errors=True)
 
 
-_atexit.register(_cleanup_tc_scratch)
+def _register_tc_cleanup() -> None:
+    global _tc_cleanup_registered
+    if not _tc_cleanup_registered:
+        _atexit.register(_cleanup_tc_scratch)
+        _tc_cleanup_registered = True
 
 
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,6 +1342,8 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per job instead of ~15×, and the final join stage carries only
     corpus-cardinality doc_id sets with no shuffle."""
     from . import sinks
+
+    _register_tc_cleanup()
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     sinks.write_bucketed(d, "tc_docs", _TC_BUCKETS,

@@ -73,7 +73,6 @@ def gate_columns() -> dict[str, "F.Column"]:
     # longest equal-run over the sorted tokens == max word frequency;
     # the fold lambda touches only (acc, w), so the interpreted HOF
     # evaluates its argument arrays exactly once per row
-    run = F.when(F.col("w") == F.col("acc.prev"), F.col("acc.run") + 1)
     top_count = F.aggregate(
         F.array_sort(words),
         F.struct(F.lit(None).cast("string").alias("prev"),
@@ -146,8 +145,16 @@ def stream_training_corpus(
     q2 = stream_quality_gates(
         spark, input_dir, f"{base_dir}/gates_out", f"{base_dir}/gates_ckpt",
         available_now=available_now)
-    q1.awaitTermination(300)
-    q2.awaitTermination(300)
+    # a timeout MUST surface: returning with a query still running would
+    # hand the caller a partially-written sink (silently wrong
+    # survivors) and collide on the checkpoint dirs next round
+    for name, q in (("neardedup", q1), ("quality_gates", q2)):
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                f"stream_training_corpus: {name} stream did not drain "
+                "within 600s; sinks are incomplete — re-run after "
+                "investigating (checkpoints preserve progress)")
 
 
 def stream_training_corpus_survivors(

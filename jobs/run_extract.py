@@ -38,8 +38,8 @@ def main() -> int:
                      help="generate N synthetic docs instead of reading --input")
     ap.add_argument("--output", required=True, help="run base dir (output + lineage)")
     ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--buckets-per-commit", type=int, default=16)
-    ap.add_argument("--mode", choices=["fused", "paged", "scatter"], default="fused")
+    ap.add_argument("--buckets-per-commit", type=int, default=None)
+    ap.add_argument("--mode", choices=["fused", "paged", "scatter"], default=None)
     ap.add_argument("--page-checkpoint", action="store_true",
                     help="checkpoint at (bucket, page-range) grain instead "
                          "of bucket grain: a crash mid-giant-document "
@@ -49,6 +49,19 @@ def main() -> int:
     ap.add_argument("--units-per-commit", type=int, default=16)
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
+    # --page-checkpoint fixes the physical plan (page-grain parse +
+    # JVM assembly) and batches by units, so a mode or bucket-batch
+    # request alongside it would be silently ignored — reject instead
+    if args.page_checkpoint and args.mode is not None:
+        ap.error("--mode conflicts with --page-checkpoint "
+                 "(the page runner parses at page grain)")
+    if args.page_checkpoint and args.buckets_per_commit is not None:
+        ap.error("--buckets-per-commit conflicts with --page-checkpoint "
+                 "(use --units-per-commit)")
+    if args.mode is None:
+        args.mode = "page-checkpoint" if args.page_checkpoint else "fused"
+    if args.buckets_per_commit is None:
+        args.buckets_per_commit = 16
 
     from pyspark.sql import SparkSession
 

@@ -199,3 +199,33 @@ def test_job_cli_page_checkpoint_end_to_end(tmp_path):
         f"FROM read_parquet('{base}/output/*.parquet') ORDER BY doc_id"
     ).fetchall()
     assert docs2 == docs1
+
+
+def test_paged_runner_covers_one_based_page_numbering(spark, tmp_path):
+    """The unit domain must follow the page_no VALUES, not the array
+    length: a doc whose pages are numbered 1..N (externally-supplied
+    1-based table) has its last page in prange N//r — deriving ranges
+    from size(pages) would exclude that unit from the domain and the
+    page would be dropped silently with a committed lineage row."""
+    base_doc = generate_doc(3, max_pages=4, malformed_frac=0.0)
+    pages = [dict(p, page_no=i + 1)            # 1-based numbering
+             for i, p in enumerate(
+                 itertools.islice(itertools.cycle(base_doc["pages"]),
+                                  PAGES_PER_RANGE))]
+    row = [(
+        "onebased-0", [],
+        [(p["page_no"], p["width"], p["height"], p["scale_factor"],
+          p["payload"], p["toc_json"], p["words_json"]) for p in pages],
+        PAGES_PER_RANGE, "normal",
+    )]
+    docs = spark.createDataFrame(row, schemas.INPUT)
+    base = str(tmp_path / "ob")
+    checkpoint.run_extraction_paged(
+        spark, docs, base, n_buckets=N_BUCKETS,
+        pages_per_range=PAGES_PER_RANGE, units_per_commit=8, run_id="ob")
+    out = checkpoint.read_page_output(spark, base)
+    # every page parsed exactly once — including page_no == N, which
+    # lands in the second prange of a 1-based doc
+    assert out.count() == PAGES_PER_RANGE
+    got_pages = {r["page_no"] for r in out.select("page_no").collect()}
+    assert got_pages == {i + 1 for i in range(PAGES_PER_RANGE)}
