@@ -195,3 +195,29 @@ def test_generated_input_modes_agree(spark, mode, gen):
     docs = gen(spark.read.parquet(f"{SF}/documents.parquet").limit(120))
     assert _fingerprint(pipeline.extract(docs, mode=mode)) == \
         _fingerprint(pipeline.extract(docs, mode="fused"))
+
+
+def test_extract_cleaner_probe_matches_oracle(spark, con):
+    from dots_ocr_spark.sources import ingest as ing
+
+    rows = _match(spark, con, Q.q_extract_cleaner_probe,
+                  Q.ORACLE_EXTRACT_CLEANER_PROBE)
+    assert all(r[2] == "text" for r in rows)
+    # every probe class occurs in the corpus (the md5 class draw is
+    # uniform over 16 nibble values; 500 docs ⇒ ~1900 pages)
+    cls_counts = dict(con.execute(f"""
+        WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                          len(string_split(text,' ')) AS n FROM documents),
+        pg AS (SELECT doc_id, unnest(range(0, CAST(ceil(ceil(n/{ing.MP_CHUNK_WORDS}.0)
+                   / {ing.MP_CHUNKS_PER_PAGE}.0) AS INT))) AS page_no FROM t)
+        SELECT CASE
+          WHEN CAST(('0x' || substring(md5(doc_id || ':cp:' || page_no),1,1)) AS INT)
+               < {ing.CP_DUP_BELOW} THEN 'dup'
+          WHEN CAST(('0x' || substring(md5(doc_id || ':cp:' || page_no),1,1)) AS INT)
+               < {ing.CP_REGEX_BELOW} THEN 'regex'
+          WHEN CAST(('0x' || substring(md5(doc_id || ':cp:' || page_no),1,1)) AS INT)
+               < {ing.CP_SALVAGE_BELOW} THEN 'salvage'
+          ELSE 'control' END AS cls, count(*) FROM pg GROUP BY 1
+    """).fetchall())
+    assert set(cls_counts) == {"dup", "regex", "salvage", "control"}, cls_counts
+    assert min(cls_counts.values()) > 10, cls_counts

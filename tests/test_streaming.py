@@ -319,3 +319,33 @@ def test_neardup_group_state_caps_but_keeps_dropping(spark):
     verdicts = dict(zip(out["doc_id"], out["dropped"]))
     assert verdicts[0] is False or verdicts[0] == False  # noqa: E712
     assert all(verdicts[i] for i in range(1, n))       # no over-cap escape
+
+
+def test_stream_gate_columns_match_batch_rules_per_doc(spark):
+    """Per-document parity of the streaming gate projection against the
+    batch legs over the REAL sf0.001 corpus (500 docs) — sharper than
+    the capstone's survivor-set equality, which only sees pass/fail
+    boundary crossings on a small planted corpus."""
+    from dots_ocr_spark.queries import (
+        _read,
+        quality_repetition_df,
+        quality_score_df,
+    )
+    from dots_ocr_spark.streaming.corpus import gate_columns
+
+    d = _read(spark, "/root/testdata/sf0.001", "documents")
+    gates = gate_columns()
+    got = {
+        r["doc_id"]: (r["repetition_pass"], r["quality_pass"])
+        for r in d.select(
+            "doc_id",
+            *[e.alias(n) for n, e in gates.items()]).collect()
+    }
+    rep = {r["doc_id"]: r["repetition_pass"]
+           for r in quality_repetition_df(d).collect()}
+    qual = {r["doc_id"]: r["quality_pass"]
+            for r in quality_score_df(d).collect()}
+    assert len(got) == 500
+    exp = {k: (rep[k], qual[k]) for k in rep}
+    diffs = {k: (got[k], exp[k]) for k in got if got[k] != exp[k]}
+    assert got == exp, dict(list(diffs.items())[:3])
