@@ -349,3 +349,49 @@ def test_stream_gate_columns_match_batch_rules_per_doc(spark):
     exp = {k: (rep[k], qual[k]) for k in rep}
     diffs = {k: (got[k], exp[k]) for k in got if got[k] != exp[k]}
     assert got == exp, dict(list(diffs.items())[:3])
+
+
+def test_stream_cli_extract_drains_and_resumes(tmp_path):
+    """jobs/run_stream.py extract: drain a landing zone, then a second
+    invocation after more files land processes ONLY the new files
+    (file-source checkpoint), with no duplicate outputs."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "runbase")
+    gen = (
+        "import sys; from pyspark.sql import SparkSession, functions as F; "
+        "spark = SparkSession.builder.master('local[4]')"
+        ".config('spark.ui.enabled','false').getOrCreate(); "
+        "from dots_ocr_spark import pipeline; "
+        "n0, n1, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]; "
+        "pipeline.generate_input(spark, n1, partitions=2)"
+        ".where(F.col('doc_id') >= F.lit(f'doc-{n0:08d}'))"
+        ".write.mode('append').parquet(path); spark.stop()"
+    )
+
+    def run_cli():
+        p = subprocess.run(
+            [sys.executable, "jobs/run_stream.py", "extract",
+             "--input", land, "--output", out, "--timeout", "240"],
+            capture_output=True, text=True, check=True, cwd="/root/repo")
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    subprocess.run([sys.executable, "-c", gen, "0", "40", land],
+                   check=True, capture_output=True, cwd="/root/repo")
+    r1 = run_cli()
+    assert r1["output_rows"] == 40
+    time.sleep(1.1)
+    subprocess.run([sys.executable, "-c", gen, "40", "60", land],
+                   check=True, capture_output=True, cwd="/root/repo")
+    r2 = run_cli()
+    assert r2["output_rows"] == 60
+
+    import duckdb
+    n_distinct, n_rows = duckdb.sql(
+        f"SELECT count(DISTINCT doc_id), count(*) "
+        f"FROM read_parquet('{out}/output/*.parquet')").fetchone()
+    assert (n_distinct, n_rows) == (60, 60)
