@@ -78,6 +78,7 @@ HEADLINE = [
     "training_corpus",
     # round-4 additions (appended; earlier entries unchanged)
     "extract_cleaner_probe",
+    "html_main_content",
 ]
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import dedup as D
+from . import htmlops as H
 from . import pipeline
 from . import similarity as S
 from . import textops as TX
@@ -1856,6 +1857,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": S.ivf_topk,
     "corpus_stats": TX.corpus_stats,
     "media_decode": TX.media_decode,
+    "html_main_content": H.html_main_content,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
@@ -1909,6 +1911,7 @@ ORACLE_SQL: dict[str, str] = {
     "ivf_topk": S.ORACLE_IVF_TOPK,
     "corpus_stats": TX.ORACLE_CORPUS_STATS,
     "media_decode": TX.ORACLE_MEDIA_DECODE,
+    "html_main_content": H.ORACLE_HTML_MAIN_CONTENT,
     "pricing_summary": ORACLE_PRICING,
     "revenue_by_nation": ORACLE_REVENUE_NATION,
     "top_orders": ORACLE_TOP_ORDERS,
