@@ -80,12 +80,26 @@ def run_extraction(
     buckets_per_commit: int = 16,
     mode: str = "fused",
     run_id: str | None = None,
+    bucket_col: str | None = None,
 ) -> dict:
     """Run (or resume) a checkpointed extraction over ``docs``.
 
     Returns ``{"run_id", "processed_buckets", "skipped_buckets"}``.
     Safe to call again after any failure: completed buckets are never
     recomputed; a half-written bucket is overwritten atomically.
+
+    ``bucket_col``: name of a PARTITION column on the input that
+    already holds ``pmod(xxhash64(doc_id), n_buckets)`` (the layout a
+    prior run of this module, or ``sinks.write_bucketed``, produces).
+    When given, each commit group's filter is a partition predicate and
+    the scan PRUNES to the group's files — G commit groups read the
+    corpus once in total. Without it the bucket is computed as an
+    expression, which no scan can prune, so every commit group rescans
+    the full source: fine for a handful of groups, the dominant cost at
+    100 TB with fine-grained commits (measured: each extra group adds a
+    source scan, BENCH/BASELINE.md). The column MUST follow the pmod
+    rule above — the resume domain, output partitioning, and lineage
+    are all keyed on it.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -93,14 +107,20 @@ def run_extraction(
     done = completed_buckets(spark, base)
     todo = [b for b in range(n_buckets) if b not in done]
 
-    bucketed = docs.withColumn(
-        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
-    )
+    if bucket_col is None:
+        bucketed = docs.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
 
     for lo in range(0, len(todo), buckets_per_commit):
         group = todo[lo:lo + buckets_per_commit]
-        chunk = bucketed.where(F.col("bucket").isin(group))
-        out = pipeline.extract(chunk.drop("bucket"), mode=mode).withColumn(
+        if bucket_col is not None:
+            # partition predicate: the scan prunes to the group's files
+            chunk = docs.where(
+                F.col(bucket_col).isin(group)).drop(bucket_col)
+        else:
+            chunk = bucketed.where(F.col("bucket").isin(group)).drop("bucket")
+        out = pipeline.extract(chunk, mode=mode).withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
         )
         # 1) output commit: dynamic overwrite replaces exactly these buckets

@@ -47,6 +47,11 @@ def main() -> int:
                          "(pairs with scatter-mode corpora)")
     ap.add_argument("--pages-per-range", type=int, default=8)
     ap.add_argument("--units-per-commit", type=int, default=16)
+    ap.add_argument("--bucket-col", default=None,
+                    help="input partition column already holding "
+                         "pmod(xxhash64(doc_id), buckets): commit-group "
+                         "filters then prune the scan instead of "
+                         "rescanning the corpus once per group")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
     # --page-checkpoint fixes the physical plan (page-grain parse +
@@ -117,6 +122,7 @@ def main() -> int:
                         buckets_per_commit=args.buckets_per_commit,
                         mode=args.mode,
                         run_id=args.run_id,
+                        bucket_col=args.bucket_col,
                     )
                 res["wall_sec"] = round(time.perf_counter() - t0, 2)
                 res["metrics"] = [

@@ -139,3 +139,42 @@ def test_q_metrics_summary_repeat_invocations_isolated(spark):
            for r in duckdb.connect().execute(Q.ORACLE_METRICS_SUMMARY).fetchall()}
     assert r1 == exp
     assert "/root/repo/" not in Q.METRICS_DEMO_BASE  # relocatable scratch
+
+
+def test_bucket_col_input_prunes_partitions_and_matches(spark, docs, tmp_path):
+    """A bucket-partitioned input + bucket_col= turns each commit
+    group's filter into a PARTITION predicate: the scan prunes to the
+    group's files (so G commit groups read the corpus once in total,
+    not G times), and the run's output is identical to the
+    expression-bucketed path."""
+    src = str(tmp_path / "bucketed_src")
+    docs.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("int"),
+    ).write.partitionBy("bucket").parquet(src)
+    part_docs = spark.read.parquet(src)
+
+    # the group filter reaches the scan as a partition filter
+    pruned = part_docs.where(F.col("bucket").isin([0, 1, 2, 3]))
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters")[1].splitlines()[0], plan
+
+    base_a = str(tmp_path / "a")
+    base_b = str(tmp_path / "b")
+    checkpoint.run_extraction(
+        spark, part_docs, base_a, n_buckets=N_BUCKETS,
+        buckets_per_commit=4, run_id="pruned", bucket_col="bucket")
+    checkpoint.run_extraction(
+        spark, docs, base_b, n_buckets=N_BUCKETS,
+        buckets_per_commit=4, run_id="expr")
+    got = _spans_fingerprint(checkpoint.read_output(spark, base_a))
+    exp = _spans_fingerprint(checkpoint.read_output(spark, base_b))
+    assert got == exp and len(got) == N_DOCS
+
+    # resume over the pruned path is still a no-op
+    r = checkpoint.run_extraction(
+        spark, part_docs, base_a, n_buckets=N_BUCKETS,
+        buckets_per_commit=4, run_id="again", bucket_col="bucket")
+    assert r["processed_buckets"] == 0 and r["skipped_buckets"] == N_BUCKETS
