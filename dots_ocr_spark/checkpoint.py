@@ -89,8 +89,12 @@ def run_extraction(
     recomputed; a half-written bucket is overwritten atomically.
 
     ``bucket_col``: name of a PARTITION column on the input that
-    already holds ``pmod(xxhash64(doc_id), n_buckets)`` (the layout a
-    prior run of this module, or ``sinks.write_bucketed``, produces).
+    already holds ``pmod(xxhash64(doc_id), n_buckets)`` — i.e. the
+    input was written with ``partitionBy`` on a column computed by
+    exactly that rule, the layout this module's own output uses. (NOT
+    ``sinks.write_bucketed``: Hive ``bucketBy`` uses Murmur3 file
+    bucketing with no partition column, which neither matches the pmod
+    rule nor supports partition pruning.)
     When given, each commit group's filter is a partition predicate and
     the scan PRUNES to the group's files — G commit groups read the
     corpus once in total. Without it the bucket is computed as an

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sources.ingest import chunk_words
+
 #: words per synthesized content block (matches the multipage chunking)
 HB_CHUNK_WORDS = 10
 #: first hex nibble of md5(doc_id || ':hb:' || block_idx) below this ⇒
@@ -62,12 +64,7 @@ def synthesize_html(docs: DataFrame, doc_id_col: str = "doc_id",
     draws are shared with the SQL oracle so the stripped output is
     predictable from the raw text alone."""
     did = F.col(doc_id_col).cast("string")
-    marked = F.regexp_replace(
-        F.col(text_col),
-        r"((?:\S+ ){%d}\S+) " % (HB_CHUNK_WORDS - 1),
-        "$1",
-    )
-    chunks = F.split(marked, "")
+    chunks = chunk_words(F.col(text_col), HB_CHUNK_WORDS)
     blocks = F.transform(
         chunks,
         lambda ch, j: F.when(
@@ -99,21 +96,35 @@ def strip_boilerplate(df: DataFrame, html_col: str = "html") -> DataFrame:
     """(doc_id, html) → (doc_id, n_blocks, n_kept, content): block-split
     the HTML, classify each block by the integer-form link-density gate
     plus the min-words gate, join the surviving block texts with blank
-    lines (document reading order = DOM order)."""
+    lines (document reading order = DOM order).
+
+    HOF shape: the per-block regex work (tag strip + anchor extract) is
+    folded into ONE transform producing struct(txt, n_linked), so each
+    downstream reference to the filtered array re-runs only cheap field
+    reads and comparisons, not the regexes (the naive form re-ran the
+    tag-strip regex ~7× per kept block across the filter's three gate
+    mentions and the content transform)."""
     blocks = F.expr(
         f"regexp_extract_all({html_col}, '{_BLOCK_RE}', 1)")
-    kept = F.filter(
+    scored = F.transform(
         blocks,
-        lambda b: (F.length(_stripped(b)) > 0)
-        & (F.size(F.split(_stripped(b), " ")) >= HB_MIN_WORDS)
-        & (F.length(_linked(b)) * 2 <= F.length(_stripped(b))),
+        lambda b: F.struct(
+            _stripped(b).alias("txt"),
+            F.length(_linked(b)).alias("n_linked"),
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["txt"]) > 0)
+        & (F.size(F.split(s["txt"], " ")) >= HB_MIN_WORDS)
+        & (s["n_linked"] * 2 <= F.length(s["txt"])),
     )
     return df.select(
         "doc_id",
         F.size(blocks).cast("long").alias("n_blocks"),
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(
-            F.transform(kept, _stripped), "\n\n").alias("content"),
+            F.transform(kept, lambda s: s["txt"]), "\n\n").alias("content"),
     )
 
 

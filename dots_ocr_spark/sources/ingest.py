@@ -57,6 +57,27 @@ def _cells_expr(words: Column) -> Column:
     )
 
 
+def chunk_words(text: Column, n_words: int) -> Column:
+    """``n_words``-word chunks of a space-separated text column via ONE
+    codegen'd regexp pass: every n-th space becomes a LITERAL U+0001
+    marker and a split yields the chunks - equivalent to
+    array_join(slice(split(text), ...)) per chunk but evaluated once
+    per reference instead of re-splitting the text inside interpreted
+    per-page HOF lambdas (measured 3.5s -> 1.3s on the sf0.1 corpus).
+
+    THE one definition of the invisible-marker idiom (CLAUDE.md hazard:
+    a hand-copied marker silently drops to per-character splitting) -
+    add new generators against this helper, never by copying the
+    pattern.
+    """
+    marked = F.regexp_replace(
+        text,
+        r"((?:\S+ ){%d}\S+) " % (n_words - 1),
+        "$1",
+    )
+    return F.split(marked, "")
+
+
 def interleaved_from_text(docs: DataFrame, doc_id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """Flat (doc_id, text) corpus → the interleaved input table shape
@@ -188,19 +209,7 @@ def interleaved_multipage(docs: DataFrame, doc_id_col: str = "doc_id",
         ``crop-<md5(doc:page:x1,y1,x2,y2)[:16]>`` (ocr_task.py:150-155).
     """
     did = F.col(doc_id_col).cast("string")
-    # one codegen'd regexp pass replaces every MP_CHUNK_WORDS-th space
-    # with \x01 and a split yields the word chunks — equivalent to
-    # array_join(slice(split(text), ...)) per chunk but evaluated ONCE
-    # per reference instead of re-splitting the text inside an
-    # interpreted transform() lambda for every chunk (the generator runs
-    # inside per-page HOF lambdas, where every outer-expression mention
-    # re-evaluates; measured 3.5s -> 1.3s for the sf0.1 corpus).
-    marked = F.regexp_replace(
-        F.col(text_col),
-        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
-        "$1\u0001",
-    )
-    chunks = F.split(marked, "\u0001")
+    chunks = chunk_words(F.col(text_col), MP_CHUNK_WORDS)
     n_chunks = F.size(chunks)
     n_pages = F.ceil(n_chunks / F.lit(MP_CHUNKS_PER_PAGE)).cast("int")
 
@@ -323,12 +332,7 @@ def interleaved_toc(docs: DataFrame, doc_id_col: str = "doc_id",
     the F8 no-match path in the same rows.
     """
     did = F.col(doc_id_col).cast("string")
-    marked = F.regexp_replace(
-        F.col(text_col),
-        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
-        "$1",
-    )
-    chunks = F.split(marked, "")
+    chunks = chunk_words(F.col(text_col), MP_CHUNK_WORDS)
     n_chunks = F.size(chunks)
     n_pages = F.ceil(n_chunks / F.lit(MP_CHUNKS_PER_PAGE)).cast("int")
 
@@ -454,12 +458,7 @@ def interleaved_twocol(docs: DataFrame, doc_id_col: str = "doc_id",
         variant drops exactly those two cells) are SQL-predictable.
     """
     did = F.col(doc_id_col).cast("string")
-    marked = F.regexp_replace(
-        F.col(text_col),
-        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
-        "$1\u0001",
-    )
-    chunks = F.split(marked, "\u0001")
+    chunks = chunk_words(F.col(text_col), MP_CHUNK_WORDS)
     n_chunks = F.size(chunks)
     n_pages = F.ceil(n_chunks / F.lit(TC_CHUNKS_PER_PAGE)).cast("int")
 
@@ -550,12 +549,7 @@ def interleaved_rich(docs: DataFrame, doc_id_col: str = "doc_id",
     markdown are string algebra over the draws.
     """
     did = F.col(doc_id_col).cast("string")
-    marked = F.regexp_replace(
-        F.col(text_col),
-        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
-        "$1",
-    )
-    chunks = F.split(marked, "")
+    chunks = chunk_words(F.col(text_col), MP_CHUNK_WORDS)
     n_chunks = F.size(chunks)
     n_pages = F.ceil(n_chunks / F.lit(MP_CHUNKS_PER_PAGE)).cast("int")
 
@@ -661,12 +655,7 @@ def interleaved_wordgrain(docs: DataFrame, doc_id_col: str = "doc_id",
     putting the rescale path under the SAME external oracle (the output
     text is scale-invariant by construction)."""
     did = F.col(doc_id_col).cast("string")
-    marked = F.regexp_replace(
-        F.col(text_col),
-        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
-        "$1",
-    )
-    chunks = F.split(marked, "")
+    chunks = chunk_words(F.col(text_col), MP_CHUNK_WORDS)
 
     def cell_bbox(j):
         top = F.lit(BODY_TOP) + j * (BLOCK_H + BLOCK_GAP)
@@ -788,12 +777,7 @@ def interleaved_cleaner_probe(docs: DataFrame, doc_id_col: str = "doc_id",
       * **control** — wellformed payload, one span per chunk.
     """
     did = F.col(doc_id_col).cast("string")
-    marked = F.regexp_replace(
-        F.col(text_col),
-        r"((?:\S+ ){%d}\S+) " % (MP_CHUNK_WORDS - 1),
-        "$1",
-    )
-    chunks = F.split(marked, "")
+    chunks = chunk_words(F.col(text_col), MP_CHUNK_WORDS)
     n_chunks = F.size(chunks)
     n_pages = F.ceil(n_chunks / F.lit(MP_CHUNKS_PER_PAGE)).cast("int")
 

@@ -131,6 +131,7 @@ def stream_training_corpus(
     input_dir: str,
     base_dir: str,
     available_now: bool = True,
+    timeout: int = 600,
 ) -> None:
     """Drive one incremental pass of the full composition: run the
     stateful near-dedup and the stateless gate projection over whatever
@@ -149,11 +150,11 @@ def stream_training_corpus(
     # hand the caller a partially-written sink (silently wrong
     # survivors) and collide on the checkpoint dirs next round
     for name, q in (("neardedup", q1), ("quality_gates", q2)):
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(timeout):
             q.stop()
             raise TimeoutError(
                 f"stream_training_corpus: {name} stream did not drain "
-                "within 600s; sinks are incomplete — re-run after "
+                f"within {timeout}s; sinks are incomplete — re-run after "
                 "investigating (checkpoints preserve progress)")
 
 

@@ -63,6 +63,9 @@ def main() -> int:
     if args.page_checkpoint and args.buckets_per_commit is not None:
         ap.error("--buckets-per-commit conflicts with --page-checkpoint "
                  "(use --units-per-commit)")
+    if args.page_checkpoint and args.bucket_col is not None:
+        ap.error("--bucket-col conflicts with --page-checkpoint "
+                 "(the page runner derives its unit domain itself)")
     if args.mode is None:
         args.mode = "page-checkpoint" if args.page_checkpoint else "fused"
     if args.buckets_per_commit is None:

@@ -48,6 +48,10 @@ def main() -> int:
     if args.follow and args.pipeline == "corpus":
         ap.error("--follow is drain-mode only for corpus (two coordinated "
                  "queries); re-invoke per landing batch instead")
+    if args.max_files_per_trigger is not None and args.pipeline == "corpus":
+        ap.error("--max-files-per-trigger is not supported for corpus "
+                 "(its two coordinated availableNow queries drain whatever "
+                 "has landed)")
 
     from pyspark.sql import SparkSession
 
@@ -63,15 +67,22 @@ def main() -> int:
     res: dict = {"pipeline": args.pipeline, "input": args.input,
                  "output": args.output}
 
+    from pyspark.errors import AnalysisException
+
     if args.pipeline == "corpus":
         from dots_ocr_spark.streaming.corpus import (
             stream_training_corpus,
             stream_training_corpus_survivors,
         )
 
-        stream_training_corpus(spark, args.input, args.output)
-        res["surviving_docs"] = stream_training_corpus_survivors(
-            spark, args.output).count()
+        stream_training_corpus(spark, args.input, args.output,
+                               timeout=args.timeout)
+        try:
+            res["surviving_docs"] = stream_training_corpus_survivors(
+                spark, args.output).count()
+        except AnalysisException:
+            # nothing has landed yet: the drain wrote no sink files
+            res["surviving_docs"] = 0
     else:
         from dots_ocr_spark.streaming import (
             stream_dedup_extract,
@@ -94,8 +105,12 @@ def main() -> int:
             raise TimeoutError(
                 f"stream did not drain within {args.timeout}s; sink is "
                 "incomplete — re-invoke to resume from the checkpoint")
-        out = spark.read.parquet(os.path.join(args.output, "output"))
-        res["output_rows"] = out.count()
+        try:
+            res["output_rows"] = spark.read.parquet(
+                os.path.join(args.output, "output")).count()
+        except AnalysisException:
+            # empty landing zone: the drain produced no output files yet
+            res["output_rows"] = 0
 
     res["wall_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(res))
