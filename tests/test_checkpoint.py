@@ -178,3 +178,32 @@ def test_bucket_col_input_prunes_partitions_and_matches(spark, docs, tmp_path):
         spark, part_docs, base_a, n_buckets=N_BUCKETS,
         buckets_per_commit=4, run_id="again", bucket_col="bucket")
     assert r["processed_buckets"] == 0 and r["skipped_buckets"] == N_BUCKETS
+
+
+def test_metrics_oracle_resolves_after_query_process_exits():
+    """The driver may evaluate oracle_sql() in a DIFFERENT process after
+    the one that ran q_metrics_summary has exited — the import-time
+    ORACLE_METRICS_SUMMARY path must still resolve, which is why the
+    user-scoped scratch must NOT be cleaned at interpreter exit (an
+    earlier exit-time rmtree broke exactly this)."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    code = (
+        "from pyspark.sql import SparkSession; "
+        "spark = (SparkSession.builder.master('local[4]')"
+        ".config('spark.ui.enabled','false').getOrCreate()); "
+        "from dots_ocr_spark import queries as Q; "
+        "assert Q.q_metrics_summary(spark, '/root/testdata/sf0.001')"
+        ".collect(); spark.stop()"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   capture_output=True, text=True, cwd="/root/repo")
+
+    from dots_ocr_spark import queries as Q
+
+    rows = duckdb.sql(Q.ORACLE_METRICS_SUMMARY).fetchall()
+    assert rows and rows[0][0] == "driver-demo"
+    assert rows[0][2] == 500          # n_docs over the sf0.001 corpus
