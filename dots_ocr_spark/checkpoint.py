@@ -120,8 +120,28 @@ def run_extraction(
         group = todo[lo:lo + buckets_per_commit]
         if bucket_col is not None:
             # partition predicate: the scan prunes to the group's files
-            chunk = docs.where(
-                F.col(bucket_col).isin(group)).drop(bucket_col)
+            chunk = docs.where(F.col(bucket_col).isin(group))
+            # Layout guard: the fast path trusts that bucket_col follows
+            # pmod(xxhash64(doc_id), n_buckets). If the input was written
+            # with a different n_buckets or hash, this group would parse
+            # the wrong docs, commit lineage for buckets it never
+            # produced, and later groups' dynamic overwrites would wipe
+            # the stray output partitions — silent doc loss behind a
+            # clean lineage table. Recompute the rule over the pruned
+            # files only (one cheap JVM-only job, no Python work) and
+            # refuse to commit on any mismatch.
+            stray = chunk.where(
+                ~F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
+                .cast("int").isin(group)).limit(1).count()
+            if stray:
+                raise ValueError(
+                    f"bucket_col={bucket_col!r} does not follow "
+                    f"pmod(xxhash64(doc_id), {n_buckets}): commit group "
+                    f"{group} selected docs whose recomputed bucket lies "
+                    "outside the group. The input's partition layout "
+                    "disagrees with this run's (n_buckets, hash) — "
+                    "refusing to commit rather than silently lose docs.")
+            chunk = chunk.drop(bucket_col)
         else:
             chunk = bucketed.where(F.col("bucket").isin(group)).drop("bucket")
         out = pipeline.extract(chunk, mode=mode).withColumn(
@@ -296,10 +316,28 @@ def run_extraction_paged(
                 F.floor(F.array_max("pages.page_no") / F.lit(pages_per_range))
                 .cast("int") + 1,
             ).otherwise(F.lit(0)).alias("npr"),
+            F.when(
+                F.size("pages") > 0, F.array_min("pages.page_no")
+            ).otherwise(F.lit(0)).alias("min_pno"),
         )
-        .groupBy("bucket").agg(F.max("npr").alias("npr"))
+        .groupBy("bucket")
+        .agg(F.max("npr").alias("npr"), F.min("min_pno").alias("min_pno"))
         .collect()
     )
+    # array_max covers 1-based/gapped numbering UPWARD, but a negative
+    # page_no would get a negative prange that is never in the domain:
+    # the page is silently never parsed while its bucket's units all
+    # commit lineage — the same silent-drop mode the array_max bound
+    # exists to prevent, in the other direction. Fail fast instead; the
+    # min comes free in the same bounded domain collect.
+    neg = sorted(r["bucket"] for r in dom
+                 if r["min_pno"] is not None and r["min_pno"] < 0)
+    if neg:
+        raise ValueError(
+            f"negative page_no in bucket(s) {neg}: pages with page_no < 0 "
+            "would fall outside the (bucket, prange) unit domain and be "
+            "silently skipped. Renumber pages to be >= 0 before the "
+            "paged runner.")
     all_units = {(r["bucket"], p) for r in dom for p in range(r["npr"])}
     done = completed_page_units(spark, base) & all_units
     todo = sorted(all_units - done)

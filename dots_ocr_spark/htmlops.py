@@ -50,10 +50,31 @@ _NAV_HTML = '<nav><a href="/h">home</a> <a href="/c">contact</a></nav>'
 _FOOTER_HTML = '<footer><a href="/t">terms</a> <a href="/p">privacy</a></footer>'
 
 #: block-level elements recognized by the stripper; ``a`` is exempt so
-#: inline anchors stay inside their parent block
-_BLOCK_RE = r"<(?:p|div|nav|footer)[^>]*>(.*?)</(?:p|div|nav|footer)>"
+#: inline anchors stay inside their parent block. (?s): Java regex ``.``
+#: does NOT match line terminators by default, so without DOTALL any
+#: block whose text contains a newline would be unmatchable — dropped by
+#: the stripper while the oracle still counts it.
+_BLOCK_RE = r"(?s)<(?:p|div|nav|footer)[^>]*>(.*?)</(?:p|div|nav|footer)>"
 _TAG_RE = r"<[^>]+>"
-_ANCHOR_RE = r"<a[^>]*>([^<]*)</a>"
+_ANCHOR_RE = r"(?s)<a[^>]*>([^<]*)</a>"
+
+
+def _esc(c: Column) -> Column:
+    """HTML-entity-escape raw document text before wrapping it in markup,
+    so text containing literal ``<p>``-like fragments can never open or
+    close a block. ``&`` first so the escape round-trips."""
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def _unesc(c: Column) -> Column:
+    """Inverse of :func:`_esc`, applied after tag stripping — extracted
+    content round-trips to the RAW text, which is what the DuckDB oracle
+    predicts from the corpus without parsing HTML. ``&amp;`` last."""
+    c = F.regexp_replace(c, "&lt;", "<")
+    c = F.regexp_replace(c, "&gt;", ">")
+    return F.regexp_replace(c, "&amp;", "&")
 
 
 def synthesize_html(docs: DataFrame, doc_id_col: str = "doc_id",
@@ -64,7 +85,7 @@ def synthesize_html(docs: DataFrame, doc_id_col: str = "doc_id",
     draws are shared with the SQL oracle so the stripped output is
     predictable from the raw text alone."""
     did = F.col(doc_id_col).cast("string")
-    chunks = chunk_words(F.col(text_col), HB_CHUNK_WORDS)
+    chunks = chunk_words(_esc(F.col(text_col)), HB_CHUNK_WORDS)
     blocks = F.transform(
         chunks,
         lambda ch, j: F.when(
@@ -85,7 +106,9 @@ def synthesize_html(docs: DataFrame, doc_id_col: str = "doc_id",
 
 
 def _stripped(b: Column) -> Column:
-    return F.regexp_replace(b, _TAG_RE, "")
+    # tag-strip first (escaped text contains no raw '<', so only real
+    # markup matches), then entity-unescape back to the raw text
+    return _unesc(F.regexp_replace(b, _TAG_RE, ""))
 
 
 def _linked(b: Column) -> Column:

@@ -786,13 +786,21 @@ def _scratch_owner() -> str:
     below embeds the path at import time, so it must resolve in ANY
     process that imports this module — a harness that evaluates
     ``oracle_sql()`` in a separate process from the one that ran
-    ``q_metrics_summary`` still reads the same directory."""
+    ``q_metrics_summary`` still reads the same directory.
+
+    ``DOTS_OCR_SCRATCH_SUFFIX`` (env) is appended when set, so a test
+    run can isolate itself from a concurrent same-user driver run (the
+    two would otherwise race on rmtree-then-rewrite of the same
+    directory). Both the query process and its oracle process must see
+    the same value — the suffix is part of the embedded path."""
     try:
         import getpass
 
-        return getpass.getuser()
+        owner = getpass.getuser()
     except Exception:
-        return str(_os.getuid())
+        owner = str(_os.getuid())
+    suffix = _os.environ.get("DOTS_OCR_SCRATCH_SUFFIX", "")
+    return owner + (f"_{suffix}" if suffix else "")
 
 
 #: scratch base for the lineage demo, fixed per USER: the same path in
@@ -1296,24 +1304,50 @@ def q_training_corpus_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: share it so every composition join is bucket-aligned.
 _TC_BUCKETS = 16
 
-#: scratch root for the materialized training-corpus leg tables —
-#: user-scoped like METRICS_DEMO_BASE (process-independent, rewritten
-#: per run). Unlike METRICS_DEMO_BASE no oracle reads it after process
-#: exit, so it IS cleaned at interpreter exit — but the cleanup is
-#: registered lazily by the first q_training_corpus call, never at
-#: import: a process that merely imports this module must not delete a
-#: concurrent run's live scratch on its way out. Single-writer
-#: assumption as with METRICS_DEMO_BASE.
+#: scratch PARENT for the materialized training-corpus leg tables —
+#: user-scoped like METRICS_DEMO_BASE, but each invocation writes into
+#: its own uuid run dir beneath it (no oracle reads TC scratch after
+#: process exit, so per-run isolation costs nothing and removes the
+#: single-writer assumption METRICS_DEMO_BASE still carries). Cleanup
+#: of this process's run dir is registered lazily by the first
+#: q_training_corpus call, never at import: a process that merely
+#: imports this module must not delete anything on its way out.
 TC_SCRATCH = _os.path.join(
     _tempfile.gettempdir(), f"dots_ocr_spark_tc_{_scratch_owner()}")
 
 _tc_cleanup_registered = False
 
+#: this process's current run directory under TC_SCRATCH. Each
+#: q_training_corpus invocation gets a fresh uuid-suffixed subdir, so
+#: two concurrent same-user PROCESSES (e.g. pytest alongside
+#: tools/check_correctness.py) can never corrupt each other's legs —
+#: the user-scoped parent is shared, the run dirs are not. The previous
+#: run dir of THIS process is removed when a new one is allocated, and
+#: the last one at interpreter exit, so /tmp stays bounded.
+_tc_run_dir: str | None = None
+
+
+def _new_tc_run_dir() -> str:
+    global _tc_run_dir
+    import shutil
+    import uuid
+
+    _register_tc_cleanup()
+    if _tc_run_dir is not None:
+        shutil.rmtree(_tc_run_dir, ignore_errors=True)
+    _tc_run_dir = _os.path.join(TC_SCRATCH, uuid.uuid4().hex[:12])
+    return _tc_run_dir
+
 
 def _cleanup_tc_scratch() -> None:
     import shutil
 
-    shutil.rmtree(TC_SCRATCH, ignore_errors=True)
+    if _tc_run_dir is not None:
+        shutil.rmtree(_tc_run_dir, ignore_errors=True)
+    try:
+        _os.rmdir(TC_SCRATCH)  # parent goes only if no other run is live
+    except OSError:
+        pass
 
 
 def _register_tc_cleanup() -> None:
@@ -1344,11 +1378,11 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-cardinality doc_id sets with no shuffle."""
     from . import sinks
 
-    _register_tc_cleanup()
+    run_dir = _new_tc_run_dir()
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     sinks.write_bucketed(d, "tc_docs", _TC_BUCKETS,
-                         path=f"{TC_SCRATCH}/tc_docs")
+                         path=f"{run_dir}/tc_docs")
     docs = spark.table("tc_docs")
 
     legs = {
@@ -1360,7 +1394,7 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     for name, verdict in legs.items():
         sinks.write_bucketed(verdict, name, _TC_BUCKETS,
-                             path=f"{TC_SCRATCH}/{name}")
+                             path=f"{run_dir}/{name}")
 
     # merge hints: the verdict tables are small HERE, but at corpus
     # scale they are doc-grain — a broadcast would be wrong at 100 TB,

@@ -207,3 +207,26 @@ def test_metrics_oracle_resolves_after_query_process_exits():
     rows = duckdb.sql(Q.ORACLE_METRICS_SUMMARY).fetchall()
     assert rows and rows[0][0] == "driver-demo"
     assert rows[0][2] == 500          # n_docs over the sf0.001 corpus
+
+
+def test_bucket_col_layout_mismatch_fails_fast(spark, docs, tmp_path):
+    """The bucket_col fast path trusts the partition column follows
+    pmod(xxhash64(doc_id), n_buckets). If the input was laid out with a
+    DIFFERENT bucket count, commit groups would select the wrong docs,
+    commit lineage for them, and later groups' dynamic overwrites would
+    wipe the stray partitions — silent doc loss behind a clean lineage
+    table. The runner must detect the mismatch and refuse to commit."""
+    src = str(tmp_path / "mislaid_src")
+    docs.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS // 2)).cast("int"),
+    ).write.partitionBy("bucket").parquet(src)
+    part_docs = spark.read.parquet(src)
+
+    base = str(tmp_path / "mislaid")
+    with pytest.raises(ValueError, match="does not follow"):
+        checkpoint.run_extraction(
+            spark, part_docs, base, n_buckets=N_BUCKETS,
+            buckets_per_commit=4, run_id="mislaid", bucket_col="bucket")
+    # no lineage was committed for the mismatched layout
+    assert checkpoint.completed_buckets(spark, base) == set()

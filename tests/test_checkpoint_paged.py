@@ -229,3 +229,27 @@ def test_paged_runner_covers_one_based_page_numbering(spark, tmp_path):
     assert out.count() == PAGES_PER_RANGE
     got_pages = {r["page_no"] for r in out.select("page_no").collect()}
     assert got_pages == {i + 1 for i in range(PAGES_PER_RANGE)}
+
+
+def test_negative_page_no_fails_fast(spark, tmp_path):
+    """array_max bounds the domain upward; a NEGATIVE page_no would get
+    a prange outside the domain and be silently never parsed while the
+    bucket's units all commit lineage — so the runner must refuse the
+    input outright (the min comes free in the same domain collect)."""
+    base_doc = generate_doc(5, max_pages=2, malformed_frac=0.0)
+    pages = [dict(p, page_no=i - 1)            # page_no -1, 0
+             for i, p in enumerate(base_doc["pages"][:2])]
+    row = [(
+        "negpage-0", [],
+        [(p["page_no"], p["width"], p["height"], p["scale_factor"],
+          p["payload"], p["toc_json"], p["words_json"]) for p in pages],
+        2, "normal",
+    )]
+    docs = spark.createDataFrame(row, schemas.INPUT)
+    base = str(tmp_path / "neg")
+    with pytest.raises(ValueError, match="negative page_no"):
+        checkpoint.run_extraction_paged(
+            spark, docs, base, n_buckets=N_BUCKETS,
+            pages_per_range=PAGES_PER_RANGE, units_per_commit=8, run_id="neg")
+    # nothing committed: a later corrected run starts from scratch
+    assert checkpoint.completed_page_units(spark, base) == set()

@@ -81,3 +81,44 @@ def test_html_query_plan_is_zero_exchange(spark):
     assert "Exchange" not in plan, plan
     m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert m and "doc_id" in m[0] and "text" in m[0] and "lang" not in m[0], plan
+
+
+def test_strip_handles_multiline_blocks(spark):
+    """Java regex '.' does not match line terminators — without (?s) a
+    block whose text contains a newline is unmatchable and silently
+    dropped while the oracle still counts it."""
+    html = "<p>first line\nsecond line here</p><p>plain good block here</p>"
+    r = _strip_rows(spark, [html])[0]
+    assert (r["n_blocks"], r["n_kept"]) == (2, 2)
+    assert r["content"] == (
+        "first line\nsecond line here\n\nplain good block here")
+
+
+def test_synthesize_escapes_markup_and_roundtrips(spark):
+    """Raw text containing literal markup ('<p>', '&', '</div>') must
+    survive synthesize -> strip unchanged: the synthesizer
+    entity-escapes it so it can never open/close a block, and the
+    stripper unescapes after tag removal, so extracted content equals
+    the raw text — exactly what the raw-text oracle predicts."""
+    import hashlib
+
+    texts = [
+        "alpha <p>not a block</p> beta gamma delta",
+        "amp & lt < gt > mix <div>x</div> tail words here now",
+        "line one\nline two three four five six seven",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_blocks"], r["n_kept"], r["content"])
+           for r in H.strip_boilerplate(H.synthesize_html(docs)).collect()}
+    for i, text in enumerate(texts):
+        toks = text.split(" ")
+        chunks = [" ".join(toks[j:j + H.HB_CHUNK_WORDS])
+                  for j in range(0, len(toks), H.HB_CHUNK_WORDS)]
+        good = [
+            ch for j, ch in enumerate(chunks)
+            if int(hashlib.md5(
+                f"{i}:hb:{j}".encode()).hexdigest()[0], 16)
+            >= H.HB_BOILER_BELOW and len(ch.split(" ")) >= H.HB_MIN_WORDS
+        ]
+        assert got[str(i)] == (len(chunks) + 2, len(good), "\n\n".join(good))

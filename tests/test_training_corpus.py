@@ -50,3 +50,36 @@ def test_verdict_tables_are_doc_grain(spark):
     for t in ("tc_docs", "tc_surv", "tc_rep", "tc_qual"):
         df = spark.table(t)
         assert df.count() == df.select("doc_id").distinct().count()
+
+
+def test_scratch_isolated_per_invocation(spark):
+    """Two concurrent same-user processes must never corrupt each
+    other's legs: every invocation writes into its own uuid run dir
+    under the user-scoped parent, a foreign process's live run dir is
+    never touched, and this process's PREVIOUS run dir is reclaimed so
+    /tmp stays bounded."""
+    import os
+
+    # simulate another process's live scratch under the shared parent
+    foreign = os.path.join(Q.TC_SCRATCH, "foreign_process_run")
+    os.makedirs(foreign, exist_ok=True)
+    sentinel = os.path.join(foreign, "leg.parquet")
+    open(sentinel, "w").write("live")
+
+    first = sorted(map(tuple, Q.q_training_corpus(spark, SF).collect()))
+    dir_a = Q._tc_run_dir
+    assert dir_a and os.path.isdir(dir_a)
+    assert os.path.dirname(dir_a) == Q.TC_SCRATCH
+
+    second = sorted(map(tuple, Q.q_training_corpus(spark, SF).collect()))
+    dir_b = Q._tc_run_dir
+    assert dir_b != dir_a                    # fresh dir per invocation
+    assert not os.path.exists(dir_a)         # previous run reclaimed
+    assert first == second
+
+    # the foreign run dir survived both invocations AND this process's
+    # exit-time cleanup path
+    Q._cleanup_tc_scratch()
+    assert os.path.exists(sentinel)
+    os.remove(sentinel)
+    os.rmdir(foreign)
