@@ -661,3 +661,58 @@ ORACLE_NEARDUP_COMPONENTS = (
                  for i in range(COMPONENT_ROUNDS))
     + f"\nSELECT doc_id, label AS component FROM l{COMPONENT_ROUNDS}"
 ).format(jaccard=ORACLE_JACCARD_PAIRS)
+
+
+def dedup_survivors_cc_df(d0: DataFrame) -> DataFrame:
+    """Keep-ONE-per-cluster dedup: exact-dup representatives → verified
+    near-dup pairs → FIXPOINT connected components
+    (:func:`connected_components`) → keep each component's min doc_id.
+
+    The greedy flow (:func:`dedup_survivors_df`) drops every doc_j of a
+    verified pair — cheap (no iteration), but it keeps every doc that
+    only ever appears as the SMALLER id of its pairs, so a cluster whose
+    pair graph is star-shaped around its largest id (a ~ c, b ~ c,
+    a !~ b) keeps BOTH a and b. The component flow collapses the whole
+    cluster to exactly one survivor regardless of pair-graph shape:
+    cc_survivors ⊆ greedy_survivors always (pytest-pinned on an
+    adversarial cluster). At corpus scale the iteration runs on the
+    PAIR GRAPH only — a tiny fraction of corpus cardinality — with
+    per-round ``localCheckpoint`` lineage truncation, so the extra cost
+    over greedy is bounded by near-dup density, not corpus size."""
+    reps = (
+        d0.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    comp = connected_components(
+        jaccard_pairs_df(d0).select("doc_i", "doc_j"))
+    non_min = comp.where(F.col("doc_id") != F.col("component")) \
+        .select("doc_id")
+    return (
+        reps.join(non_min, "doc_id", "left_anti")
+        .select("doc_id", "text_md5")
+    )
+
+
+def dedup_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_survivors_cc_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+#: oracle: the fixed-round component oracle nests inside a CTE (DuckDB
+#: allows WITH in subqueries); survivors = exact-dup reps minus every
+#: non-min member of a component. The Spark side iterates to FIXPOINT
+#: while the oracle uses COMPONENT_ROUNDS — they agree whenever every
+#: component's min-label distance fits the bound, which holds for any
+#: realistic near-dup cluster (and is exactly the bound the
+#: neardup_components driver row already value-checks).
+ORACLE_DEDUP_SURVIVORS_CC = f"""
+WITH comp AS MATERIALIZED (
+{ORACLE_NEARDUP_COMPONENTS}
+),
+reps AS (
+  SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+  FROM documents GROUP BY md5(text)
+)
+SELECT doc_id, text_md5 FROM reps
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+"""

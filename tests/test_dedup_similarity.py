@@ -3,6 +3,7 @@ Spark implementation must match its DuckDB oracle exactly at sf0.001."""
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from dots_ocr_spark import dedup as D
 from dots_ocr_spark import similarity as S
@@ -89,6 +90,43 @@ def test_connected_components_converges_past_round_bound(spark):
     exp = {v: find(v) for v in got}
     assert got == exp
     assert got[130] == 100 and got[502] == 500
+
+
+def test_dedup_survivors_cc_matches_oracle(spark, con):
+    rows = _match(spark, con, D.dedup_survivors_cc,
+                  D.ORACLE_DEDUP_SURVIVORS_CC)
+    assert 0 < len(rows) <= 500
+    # keep-one-per-cluster is at least as aggressive as greedy:
+    # cc_survivors is a subset of greedy survivors
+    cc_ids = {r[0] for r in rows}
+    greedy_ids = {r[0] for r in D.dedup_survivors(spark, SF).collect()}
+    assert cc_ids <= greedy_ids
+
+
+def test_cc_survivors_beat_greedy_on_star_cluster(spark):
+    """Adversarial pair-graph shape: a cluster star-shaped around its
+    LARGEST id — pairs (a,c) and (b,c) with a < b < c and no (a,b)
+    pair. Greedy drop-doc_j keeps BOTH a and b (each only ever appears
+    as the smaller id); components collapse the cluster to {a} alone.
+    Built directly from the composition pieces so the graph shape is
+    exact rather than hoping LSH produces it."""
+    reps = spark.createDataFrame(
+        [(i, f"h{i}") for i in (1, 2, 3, 10)], "doc_id long, text_md5 string")
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3)], "doc_i long, doc_j long")
+
+    dropped_greedy = pairs.select(
+        F.col("doc_j").alias("doc_id")).distinct()
+    greedy = {r[0] for r in reps.join(
+        dropped_greedy, "doc_id", "left_anti").collect()}
+
+    comp = D.connected_components(pairs)
+    non_min = comp.where(F.col("doc_id") != F.col("component"))         .select("doc_id")
+    cc = {r[0] for r in reps.join(non_min, "doc_id", "left_anti").collect()}
+
+    assert greedy == {1, 2, 10}      # b=2 survives greedy: never a doc_j
+    assert cc == {1, 10}             # one survivor per cluster
+    assert cc < greedy
 
 
 def test_jaccard_pairs(spark, con):
