@@ -315,6 +315,32 @@ def test_ann_recall_cost_dial_monotone(spark, tmp_path):
     assert recalls[8] >= 0.85, recalls
 
 
+def test_ivf_default_recall_floor_vs_exact(spark):
+    """Recall floor at the REGISTERED defaults (n_probe=2), pinned in
+    pytest so a centroid/probe change can't silently gut recall while
+    the oracle (which mirrors whatever the code does) stays green.
+    Compared against the exact brute-force top-k at aligned k =
+    IVF_TOP_K on the seeded corpus; all inputs deterministic, so the
+    measured 0.93 mean / 0.67 min recall is stable — the floor leaves
+    margin for a deliberate parameter retune, not for a regression to
+    chance. (The sign-LSH default-tables floor is pinned the same way
+    by test_ann_recall_on_planted_neardups: >= 0.85 planted-pair
+    recall at N_TABLES.)"""
+    exact = {}
+    for r in S.embed_topk(spark, SF).collect():
+        if r["rank"] <= S.IVF_TOP_K:
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in S.ivf_topk(spark, SF).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert len(recalls) == S.N_QUERIES
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.85, f"IVF default-probe mean recall {mean:.2f}"
+    assert min(recalls) >= 0.6, f"IVF per-query recall floor {min(recalls):.2f}"
+
+
 def test_ivf_probe_dial_monotone(spark):
     """``n_probe`` is IVF's recall dial: probing more cells can only add
     candidates, so brute-force-top-3 recall is monotone in n_probe."""
