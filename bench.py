@@ -79,6 +79,8 @@ HEADLINE = [
     # round-4 additions (appended; earlier entries unchanged)
     "extract_cleaner_probe",
     "html_main_content",
+    # round-5 additions (appended; earlier entries unchanged)
+    "dedup_survivors_cc",
 ]
 
 
