@@ -5,14 +5,14 @@ documents corpus is ingested into the interleaved span table shape
 (JVM-only pagination) and run through the full extraction pipeline
 (parse → clean → order → assemble).
 
-``queries()`` / ``oracle_sql()`` — the operator registry: 52 queries,
+``queries()`` / ``oracle_sql()`` — the operator registry: 53 queries,
 EVERY one with a DuckDB value oracle (extraction end-to-end incl. repair/
 failure/word-grain paths, the dedup + similarity + text-analysis
 families, checkpoint metrics, ingest gates, and the relational suite);
 see dots_ocr_spark/queries.py. The grading driver records the first 50
-in registry order; the two entries past that cap are physical-plan
-variants whose oracles are value-checked through in-record siblings
-(contract pinned by tests/test_registry.py).
+in registry order; the three entries past that cap are physical-plan /
+same-output variants whose oracles are value-checked through in-record
+siblings (contract pinned by tests/test_registry.py).
 """
 
 from __future__ import annotations

@@ -197,3 +197,59 @@ SELECT doc_id,
          AS content_md5
 FROM g
 """
+
+
+#: href capture from an anchor OPEN tag; body/quotes in the block text
+#: cannot match because synthesized text is entity-escaped (no raw '<')
+_HREF_RE = r'<a[^>]*href="([^"]*)"[^>]*>'
+
+
+def extract_outlinks(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, html) → (doc_id, n_links, hrefs_md5): every anchor href
+    in DOM order — the link-graph edge list a web training pipeline
+    feeds into PageRank-ish quality signals and host-level dedup. Pure
+    codegen'd regexp extraction, zero exchanges, order-preserving (the
+    md5 is over the comma-joined ordered list, so a stripper that
+    reorders or drops an anchor hash-mismatches)."""
+    hrefs = F.expr(f"regexp_extract_all({html_col}, '{_HREF_RE}', 1)")
+    return df.select(
+        "doc_id",
+        F.size(hrefs).cast("long").alias("n_links"),
+        F.md5(F.array_join(hrefs, ",")).alias("hrefs_md5"),
+    )
+
+
+def html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: synthesize HTML from the documents corpus and
+    extract the ordered outlink list. The oracle predicts the exact
+    href sequence from the RAW text + the shared md5 promo draws (nav
+    contributes /h,/c; each promo-drawn chunk one /x in chunk order;
+    the footer /t,/p) — so this value-checks anchor parsing + document
+    order end-to-end without the oracle touching HTML."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_outlinks(synthesize_html(docs))
+
+
+ORACLE_HTML_OUTLINKS = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(ceil(n / {HB_CHUNK_WORDS}.0) AS INT) AS nc FROM t
+), g AS (
+  SELECT doc_id,
+         ['/x' FOR j IN range(0, nc)
+          IF CAST(('0x' || substring(md5(doc_id || ':hb:' || j), 1, 1))
+                  AS INT) < {HB_BOILER_BELOW}] AS promos
+  FROM c
+)
+SELECT doc_id,
+       CAST(4 + len(promos) AS BIGINT) AS n_links,
+       md5('/h,/c'
+           || CASE WHEN len(promos) > 0
+                   THEN ',' || array_to_string(promos, ',')
+                   ELSE '' END
+           || ',/t,/p') AS hrefs_md5
+FROM g
+"""

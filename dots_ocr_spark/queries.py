@@ -1866,7 +1866,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_cleaner_probe": q_extract_cleaner_probe,
     "extract_from_corpus": q_extract_from_corpus,
     "extract_wordgrain": q_extract_wordgrain,
-    "extract_wordgrain_scaled": q_extract_wordgrain_scaled,
     "extract_toc": q_extract_toc,
     "extract_twocol": q_extract_twocol,
     "extract_rich": q_extract_rich,
@@ -1900,6 +1899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": TX.corpus_stats,
     "media_decode": TX.media_decode,
     "html_main_content": H.html_main_content,
+    "html_outlinks": H.html_outlinks,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders": q_top_orders,
@@ -1918,6 +1918,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests + plan gate), oracles shared with the sibling rows above
     "extract_spans_scatter": q_extract_spans_scatter,
     "winnow_fingerprints_exploded": q_winnow_fingerprints_exploded,
+    # P4 scale-division delta vs extract_wordgrain is golden-pinned
+    # (tests/test_geometry.py, tests/test_words_clip.py); identical
+    # output, same oracle string
+    "extract_wordgrain_scaled": q_extract_wordgrain_scaled,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1962,6 +1966,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_stats": TX.ORACLE_CORPUS_STATS,
     "media_decode": TX.ORACLE_MEDIA_DECODE,
     "html_main_content": H.ORACLE_HTML_MAIN_CONTENT,
+    "html_outlinks": H.ORACLE_HTML_OUTLINKS,
     "pricing_summary": ORACLE_PRICING,
     "revenue_by_nation": ORACLE_REVENUE_NATION,
     "top_orders": ORACLE_TOP_ORDERS,

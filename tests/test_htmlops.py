@@ -122,3 +122,17 @@ def test_synthesize_escapes_markup_and_roundtrips(spark):
             >= H.HB_BOILER_BELOW and len(ch.split(" ")) >= H.HB_MIN_WORDS
         ]
         assert got[str(i)] == (len(chunks) + 2, len(good), "\n\n".join(good))
+
+
+def test_extract_outlinks_order_and_count(spark):
+    html = ('<nav><a href="/h">home</a> <a href="/c">contact</a></nav>'
+            '<p>plain</p>'
+            '<div class="promo"><a href="/x">buy</a></div>'
+            '<div class="promo"><a href="/y">buy two</a></div>'
+            '<footer><a href="/t">terms</a></footer>')
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = H.extract_outlinks(df).collect()[0]
+    import hashlib
+    assert r["n_links"] == 5
+    assert r["hrefs_md5"] == hashlib.md5(
+        b"/h,/c,/x,/y,/t").hexdigest()     # DOM order preserved
