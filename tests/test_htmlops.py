@@ -136,3 +136,10 @@ def test_extract_outlinks_order_and_count(spark):
     assert r["n_links"] == 5
     assert r["hrefs_md5"] == hashlib.md5(
         b"/h,/c,/x,/y,/t").hexdigest()     # DOM order preserved
+
+
+def test_outlinks_query_plan_is_zero_exchange(spark):
+    df = H.html_outlinks(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, plan
